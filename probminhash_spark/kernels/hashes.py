@@ -1,0 +1,116 @@
+"""Vectorized 64-bit hash primitives.
+
+Mirrors the reference's pluggable-hasher design (``BuildHasherDefault<H>`` in
+``probminhash3.rs:45``, ``superminhasher.rs:9-11``): elements are mapped to a
+u64 which seeds the per-element RNG.  Supported hashers:
+
+- ``fnv1a64``        — FNV-1a over the element's 8 little-endian bytes, the
+                       hasher the reference's tests use (``fnv::FnvHasher``,
+                       ``probminhash3.rs:381``; Rust's ``u64::hash`` feeds
+                       native-endian bytes via ``write_u64``).
+- ``nohash``         — identity for pre-hashed u64 values (``nohasher.rs:10-48``).
+- ``mix64``          — SplitMix64 finalizer, our default production mix.
+- ``wang64``         — Thomas Wang invertible u64 hash (+ inverse), port of
+                       ``invhash.rs:39-95``; used for pre-hashed test fixtures
+                       exactly like ``superminhasher.rs:418-419``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .rng import splitmix64_mix
+
+U64 = np.uint64
+_err = dict(over="ignore", under="ignore")
+
+FNV_OFFSET = U64(0xCBF29CE484222325)
+FNV_PRIME = U64(0x100000001B3)
+
+
+def fnv1a64_u64(values: np.ndarray) -> np.ndarray:
+    """FNV-1a of each u64's 8 little-endian bytes (Rust ``FnvHasher`` on u64)."""
+    v = np.asarray(values, dtype=U64)
+    h = np.full(v.shape, FNV_OFFSET, dtype=U64)
+    with np.errstate(**_err):
+        for byte_idx in range(8):
+            b = (v >> U64(8 * byte_idx)) & U64(0xFF)
+            h = (h ^ b) * FNV_PRIME
+    return h
+
+
+def fnv1a64_bytes(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def wang64(values: np.ndarray) -> np.ndarray:
+    """Thomas Wang 64-bit invertible hash (``invhash.rs:39-67``)."""
+    with np.errstate(**_err):
+        k = np.asarray(values, dtype=U64)
+        k = (~k) + (k << U64(21))
+        k = k ^ (k >> U64(24))
+        k = (k + (k << U64(3))) + (k << U64(8))  # k * 265
+        k = k ^ (k >> U64(14))
+        k = (k + (k << U64(2))) + (k << U64(4))  # k * 21
+        k = k ^ (k >> U64(28))
+        k = k + (k << U64(31))
+    return k
+
+
+def wang64_inverse(values: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`wang64` (``invhash.rs:73-95``)."""
+    with np.errstate(**_err):
+        k = np.asarray(values, dtype=U64)
+        # invert k = k + (k << 31)
+        t = k - (k << U64(31))
+        k = k - (t << U64(31))
+        # invert k ^= k >> 28
+        t = k ^ (k >> U64(28))
+        k = k ^ (t >> U64(28))
+        # invert k *= 21
+        k = k * U64(14933078535860113213)
+        # invert k ^= k >> 14
+        t = k ^ (k >> U64(14))
+        t = k ^ (t >> U64(14))
+        t = k ^ (t >> U64(14))
+        k = k ^ (t >> U64(14))
+        # invert k *= 265
+        k = k * U64(15244667743933553977)
+        # invert k ^= k >> 24
+        t = k ^ (k >> U64(24))
+        k = k ^ (t >> U64(24))
+        # invert k = ~k + (k << 21)
+        t = ~k
+        t = ~(k - (t << U64(21)))
+        t = ~(k - (t << U64(21)))
+        k = ~(k - (t << U64(21)))
+    return k
+
+
+def mix64(values: np.ndarray) -> np.ndarray:
+    """Default production u64 mixer (SplitMix64 finalizer)."""
+    return splitmix64_mix(np.asarray(values, dtype=U64))
+
+
+def hash_u64(values: np.ndarray, hasher: str) -> np.ndarray:
+    """Apply the configured element hasher (reference: ``BuildHasherDefault``)."""
+    if hasher == "nohash":
+        return np.asarray(values, dtype=U64)
+    if hasher == "fnv1a64":
+        return fnv1a64_u64(values)
+    if hasher == "mix64":
+        return mix64(values)
+    if hasher == "wang64":
+        return wang64(values)
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def combine64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
+    """Order-dependent combine of two u64 streams (for band keys, w-shingles)."""
+    with np.errstate(**_err):
+        x = np.asarray(a, dtype=U64) * U64(0x9E3779B97F4A7C15)
+        x ^= np.asarray(b, dtype=U64) + U64(0x632BE59BD9B4E019) + (x << U64(6)) + (x >> U64(2))
+    return splitmix64_mix(x)

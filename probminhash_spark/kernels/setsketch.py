@@ -1,0 +1,174 @@
+"""Vectorized SetSketch1 (Ertl, arXiv:2101.00314) — port of ``setsketcher.rs``.
+
+Per item the reference walks ``j = 0..m-1`` drawing exponential spacings
+``x_j = x_{j-1} + (1/a)/(m-j) * Exp1`` and register values
+``z = min(q+1, floor(1 - log_b(x_j)))``, placed at a slot chosen by a lazy
+Fisher-Yates permutation, keeping the per-slot **max** with two early exits on
+the running register minimum ``lower_k`` (``setsketcher.rs:291-368``).
+
+Batch equivalence: ``x_j`` increases, so per-item candidate register values
+decrease with ``j``; every candidate skipped by the early exits satisfies
+``k <= lower_k_t <=`` all current registers and can never raise a register.
+Using a conservative (stale, smaller) per-doc ``lower_k`` refreshed between
+lane chunks therefore evaluates a superset of the reference's candidates and
+produces the identical register vector.
+
+Documented deviation: ``Exp1`` is sampled by inverse CDF instead of
+rand_distr's Ziggurat, and the FY index uses the same u01 mapping as
+``fyshuffle.rs:42-44`` — distribution-identical, stream-different; all
+estimator behavior is pinned by the reference's own 3-sigma acceptance tests
+(mirrored in tests/).
+
+Default parameters b=1.001, m=4096, a=20, q=65534 fit registers in u16
+(``setsketcher.rs:72-81``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+import numpy as np
+
+from .hashes import hash_u64
+from .rng import Xoshiro256pp, exp1
+
+U64 = np.uint64
+
+
+@dataclass(frozen=True)
+class SetSketchParams:
+    """``SetSketchParams`` (``setsketcher.rs:60-91``) + JSON lineage (S15)."""
+
+    b: float = 1.001
+    m: int = 4096
+    a: float = 20.0
+    q: int = 2**16 - 2
+
+    def to_json_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_json_dict(d: dict) -> "SetSketchParams":
+        return SetSketchParams(**d)
+
+    @property
+    def lnb(self) -> float:
+        return float(np.log1p(self.b - 1.0))
+
+    def jaccard_bounds(self, jac: float) -> tuple[float, float]:
+        """Lower/upper J bounds from register-equality rate
+        (``setsketcher.rs:123-139``)."""
+        assert jac <= 1.0
+        b_aux = self.b ** (jac * 0.5)
+        jsup = (b_aux * b_aux - 1.0) / (self.b - 1.0)
+        b_inf = 2.0 * (b_aux * np.sqrt(self.b) - 1.0) / (self.b - 1.0) - 1.0
+        return (max(b_inf, 0.0), jsup)
+
+
+def _xoshiro_from_state(state):
+    rng = object.__new__(Xoshiro256pp)
+    rng.s = state
+    return rng
+
+
+def setsketch_batch(
+    doc_idx: np.ndarray,
+    item_hash: np.ndarray,
+    ndocs: int,
+    params: SetSketchParams | None = None,
+    hasher: str = "nohash",
+    lanes_per_chunk: int | None = None,
+) -> np.ndarray:
+    """Register vectors (ndocs, m) uint16 for a batch of unweighted sets."""
+    p = params or SetSketchParams()
+    m, q, a, lnb = p.m, p.q, p.a, p.lnb
+    doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
+    item_hash = np.ascontiguousarray(item_hash, dtype=U64)
+    regs = np.zeros((ndocs, m), dtype=np.int64)  # i64 during build, u16 out
+    if lanes_per_chunk is None:
+        lanes_per_chunk = max(128, (1 << 21) // max(m, 1))
+    seeds = hash_u64(item_hash, hasher)
+    inva = 1.0 / a
+    iq1 = q + 1
+    n = doc_idx.shape[0]
+    for lo in range(0, n, lanes_per_chunk):
+        hi = min(lo + lanes_per_chunk, n)
+        docs = doc_idx[lo:hi]
+        nl = docs.shape[0]
+        rng = _xoshiro_from_state(Xoshiro256pp(seeds[lo:hi]).s)
+        lower_k = regs.min(axis=1).astype(np.float64)  # conservative floor
+        lk = lower_k[docs]
+        v = np.tile(np.arange(m, dtype=np.int32), (nl, 1))  # FY value array
+        rows = np.arange(nl)
+        x = np.zeros(nl, dtype=np.float64)
+        alive = np.ones(nl, dtype=bool)
+        for j in range(m):
+            if not alive.any():
+                break
+            e = exp1(rng, alive)
+            x = np.where(alive, x + (inva / (m - j)) * e, x)
+            with np.errstate(divide="ignore"):
+                lb_x = np.log(x) / lnb
+            alive &= ~(lb_x > -lk)  # setsketcher.rs:311-313
+            z = np.minimum(iq1, np.floor(1.0 - lb_x, where=alive, out=np.zeros(nl)))
+            k = np.maximum(0, z).astype(np.int64)
+            alive &= k.astype(np.float64) > lk  # setsketcher.rs:323-327
+            if not alive.any():
+                break
+            # lazy FY with u01 index mapping (fyshuffle.rs:42-48)
+            u = rng.next_f64(alive)
+            idx = (j + (u * (m - j)).astype(np.int64)).clip(0, m - 1)
+            ar = rows[alive]
+            ai = idx[alive]
+            slot_val = v[ar, ai].copy()
+            v[ar, ai] = v[ar, j]
+            v[ar, j] = slot_val
+            flat = docs[ar] * m + slot_val.astype(np.int64)
+            np.maximum.at(regs.reshape(-1), flat, k[alive])
+    return np.clip(regs, 0, min(iq1, 0xFFFF)).astype(np.uint16)
+
+
+def setsketch_cardinality(regs: np.ndarray, params: SetSketchParams | None = None):
+    """Distinct-count estimate + relative std dev (``setsketcher.rs:403-412``).
+
+    Accepts (m,) or (ndocs, m); returns scalars or per-doc arrays.
+    """
+    p = params or SetSketchParams()
+    r = np.asarray(regs, dtype=np.float64)
+    sumbk = np.exp(-r * p.lnb).sum(axis=-1)
+    card = p.m * (1.0 - 1.0 / p.b) / (p.a * p.lnb * sumbk)
+    rel_std = np.sqrt(((p.b + 1.0) / (p.b - 1.0) * p.lnb - 1.0) / p.m)
+    return card, rel_std
+
+
+def setsketch_merge(regs_a: np.ndarray, regs_b: np.ndarray) -> np.ndarray:
+    """Union sketch = element-wise max (``setsketcher.rs:428-446``)."""
+    return np.maximum(regs_a, regs_b)
+
+
+def setsketch_jaccard(regs_a: np.ndarray, regs_b: np.ndarray) -> float:
+    """Equal-register fraction estimator (``jaccard.rs:27-41``)."""
+    return float(np.mean(regs_a == regs_b))
+
+
+def setsketch_jaccard_mle_b1(
+    regs_a: np.ndarray,
+    regs_b: np.ndarray,
+    params: SetSketchParams | None = None,
+) -> float:
+    """Closed-form b->1 joint MLE of J (``setsketcher.rs:674-713``).
+
+    Uses register differences: with d = k_a - k_b, the b->1 limit gives union
+    and intersection estimates from sums of b^{-k} over the three regions
+    D+, D-, D= (see Ertl §MLE); cheap and vectorizable, preferred in Spark
+    over the golden-section search of ``setsketcher.rs:571-672`` (S21 -> S22,
+    deviation documented in SURVEY.md §7).
+    """
+    p = params or SetSketchParams()
+    a = np.asarray(regs_a, dtype=np.float64)
+    b = np.asarray(regs_b, dtype=np.float64)
+    ca, _ = setsketch_cardinality(a, p)
+    cb, _ = setsketch_cardinality(b, p)
+    cu, _ = setsketch_cardinality(np.maximum(a, b), p)
+    inter = max(0.0, ca + cb - cu)
+    return float(inter / cu) if cu > 0 else 0.0
