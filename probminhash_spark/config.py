@@ -1,0 +1,70 @@
+"""Run configuration for the dedup pipeline.
+
+Mirrors the role of ``SetSketchParams`` dump/reload (``setsketcher.rs:141-193``):
+the config is serialized into every stage manifest so a checkpointed sketch
+table can never be reused under a different (shingle, signature, band) setup —
+the axis the recall criterion in BASELINE.json fixes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # shingling
+    shingle_mode: str = "char"  # 'char' | 'token'
+    shingle_size: int = 8  # k for char grams / w for token shingles
+    # signature
+    algo: str = "optdens"  # 'optdens' | 'probminhash3a' | 'superminhash'
+    num_hashes: int = 128  # m (sketch length); must equal bands * rows
+    hasher: str = "nohash"  # element hasher over shingle u64s
+    weighted: bool = False  # multiplicity-weighted (ProbMinHash) vs set
+    # LSH banding
+    bands: int = 32
+    rows: int = 4
+    # verification
+    threshold: float = 0.8  # exact-Jaccard dedup threshold
+    est_low_cut: float = 0.5  # discard pairs whose estimated J is below this
+    verify_exact: bool = True  # re-shingle + exact Jaccard on survivors
+    # skew policy (SURVEY.md §2.2 candidate generation)
+    bucket_cap: int = 2000  # band buckets larger than this are dropped+counted
+    # SetSketch prefilter
+    cardinality_prefilter: bool = True
+    setsketch_m: int = 256
+
+    def __post_init__(self):
+        if self.bands * self.rows != self.num_hashes:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows}) must equal num_hashes "
+                f"({self.num_hashes})"
+            )
+        if self.shingle_mode not in ("char", "token"):
+            raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
+        if self.algo not in ("optdens", "probminhash3a", "superminhash"):
+            raise ValueError(f"bad algo {self.algo!r}")
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "DedupConfig":
+        return DedupConfig(**json.loads(s))
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — manifests key resume-safety on it."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Execution-level knobs (orthogonal to dedup semantics)."""
+
+    checkpoint_dir: str = ""
+    output_format: str = "parquet"  # 'iceberg' when a catalog jar is present
+    sketch_partitions: int = 0  # 0 = leave to AQE
+    cc_max_iterations: int = 50
+    arrow_batch_rows: int = 2048

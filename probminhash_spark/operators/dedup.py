@@ -1,0 +1,179 @@
+"""DataFrame-level dedup operators: sketch → band → candidates → verify.
+
+Maps SURVEY.md §2.2's dataflow stages onto Catalyst-friendly primitives:
+- signatures: one Arrow-batched pandas UDF (the only Python in the plan)
+- band keys: **native** ``transform + xxhash64 + posexplode`` — banding stays
+  inside whole-stage codegen, no Python
+- candidate generation: bucket-capped self-join on (band_id, band_key) with
+  AQE skew-join; the cap is the explicit skew policy (a viral band key with
+  10^6 members would emit 10^12 pairs)
+- verify: native ``zip_with`` equal-slot estimate (``jaccard.rs:9-19``) plus
+  exact re-shingled Jaccard via a vectorized pair UDF
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..config import DedupConfig
+from ..functions.sketch_udfs import make_exact_jaccard_udf, make_sketch_udf
+
+
+def with_doc_id(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 64-bit doc id from the row key (resume-safe, unlike
+    monotonically_increasing_id)."""
+    return df.withColumn(id_col, F.xxhash64(*[F.col(c) for c in key_cols]))
+
+
+def with_signature(
+    df: DataFrame,
+    cfg: DedupConfig,
+    content_col: str = "content",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Attach the configured minhash signature (array<long>, length m)."""
+    sketch = make_sketch_udf(cfg)
+    return df.withColumn(sig_col, sketch(F.col(content_col)))
+
+
+def band_explode(
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """signature -> (id, band_id, band_key) rows, all JVM-native.
+
+    band_key = xxhash64(slice of r consecutive signature slots, seed=band_id);
+    equal keys <=> equal slot runs (LSH banding over S29 slot equality).
+    """
+    b, r = cfg.bands, cfg.rows
+    bands = F.expr(
+        f"transform(sequence(0, {b - 1}), b -> xxhash64(slice({sig_col}, b*{r}+1, {r}), b))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(bands).alias("band_id", "band_key"),
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join band buckets into candidate pairs (id_l < id_r), with the
+    bucket-size cap skew policy.
+
+    Returns (pairs, dropped_buckets) — dropped buckets are the auditable
+    side-channel counter required by the north rule (SURVEY.md §2.2).
+    """
+    counts = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("bucket_size"))
+    keep = counts.filter(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
+    )
+    dropped = counts.filter(F.col("bucket_size") > cfg.bucket_cap)
+    # inner-join against kept buckets prunes singletons before the self-join
+    pruned = bands.join(
+        F.broadcast(keep.select("band_id", "band_key")), ["band_id", "band_key"]
+    )
+    left = pruned.select("band_id", "band_key", F.col(id_col).alias("id_l"))
+    right = pruned.select("band_id", "band_key", F.col(id_col).alias("id_r"))
+    pairs = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    return pairs, dropped
+
+
+def estimate_pair_jaccard(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Attach Ĵ = equal-slot fraction of the two signatures — native zip_with,
+    stays in codegen (S29, ``jaccard.rs:9-19``)."""
+    s = sig_df.select(F.col(id_col), F.col(sig_col))
+    out = (
+        pairs.join(s.withColumnsRenamed({id_col: "id_l", sig_col: "sig_l"}), "id_l")
+        .join(s.withColumnsRenamed({id_col: "id_r", sig_col: "sig_r"}), "id_r")
+        .withColumn(
+            "j_est",
+            F.expr(
+                "aggregate(zip_with(sig_l, sig_r, (x, y) -> if(x = y, 1, 0)),"
+                " 0, (acc, v) -> acc + v) / cast(size(sig_l) as double)"
+            ),
+        )
+        .drop("sig_l", "sig_r")
+    )
+    return out
+
+
+def verify_pairs(
+    pairs_with_est: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Exact-Jaccard verification of estimate survivors -> edges.
+
+    Joins content back only for pairs above ``est_low_cut`` (the cheap filter
+    runs first, so the expensive re-shingle UDF sees a tiny fraction).
+    """
+    surv = pairs_with_est.filter(F.col("j_est") >= cfg.est_low_cut)
+    if not cfg.verify_exact:
+        return surv.filter(F.col("j_est") >= cfg.threshold).withColumn(
+            "j_exact", F.col("j_est")
+        )
+    c = docs.select(F.col(id_col), F.col(content_col))
+    exact_j = make_exact_jaccard_udf(cfg)
+    return (
+        surv.join(
+            c.withColumnsRenamed({id_col: "id_l", content_col: "content_l"}), "id_l"
+        )
+        .join(c.withColumnsRenamed({id_col: "id_r", content_col: "content_r"}), "id_r")
+        .withColumn("j_exact", exact_j(F.col("content_l"), F.col("content_r")))
+        .drop("content_l", "content_r")
+        .filter(F.col("j_exact") >= cfg.threshold)
+    )
+
+
+def dedup_edges(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    key_cols: list[str] | None = None,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full candidate pipeline: docs -> verified duplicate edges
+    (id_l, id_r, j_est, j_exact)."""
+    if key_cols is not None:
+        docs = with_doc_id(docs, key_cols, id_col)
+    sigs = with_signature(docs, cfg, content_col).select(id_col, "sig")
+    bands = band_explode(sigs, cfg, id_col)
+    pairs, _dropped = candidate_pairs(bands, cfg, id_col)
+    est = estimate_pair_jaccard(pairs, sigs, cfg, id_col)
+    return verify_pairs(est, docs.select(id_col, content_col), cfg, id_col, content_col)
+
+
+def exact_duplicates(
+    docs: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+) -> DataFrame:
+    """Exact dedup by content hash: groups with >1 member, fully native
+    (sha2 + groupBy; zero UDFs)."""
+    h = docs.select(
+        *key_cols, F.sha2(F.col(content_col), 256).alias("content_sha256")
+    )
+    return (
+        h.groupBy("content_sha256")
+        .agg(F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )

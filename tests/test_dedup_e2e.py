@@ -1,0 +1,137 @@
+"""End-to-end dedup slice (SURVEY.md §7 step 3 / FIXTURES.md F1 'tiny'):
+sketch → band → candidates → verify → cluster, recall >= 0.99 vs exact
+brute-force truth, clusters equal to the union-find oracle partition."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from probminhash_spark.config import DedupConfig
+from probminhash_spark.operators.components import assign_clusters, connected_components
+from probminhash_spark.operators.dedup import dedup_edges, exact_duplicates, with_doc_id
+
+CFG = DedupConfig(
+    shingle_mode="char",
+    shingle_size=8,
+    algo="optdens",
+    num_hashes=128,
+    bands=32,
+    rows=4,
+    threshold=0.8,
+    est_low_cut=0.4,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_files(spark, tiny_corpus):
+    df = spark.createDataFrame(tiny_corpus.files)
+    return with_doc_id(df, ["repo", "path", "commit"]).cache()
+
+
+def _pos_map(tiny_corpus, spark_files):
+    """doc position (truth index) -> doc_id (xxhash64 key)."""
+    rows = spark_files.select("repo", "path", "commit", "doc_id").collect()
+    key_to_id = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in rows}
+    f = tiny_corpus.files
+    return {
+        pos: key_to_id[(f.repo[pos], f.path[pos], f.commit[pos])]
+        for pos in range(len(f))
+    }
+
+
+def test_recall_and_precision_vs_bruteforce(spark, tiny_corpus, spark_files):
+    edges = dedup_edges(spark_files, CFG).collect()
+    found = {(min(e["id_l"], e["id_r"]), max(e["id_l"], e["id_r"])) for e in edges}
+    pos = _pos_map(tiny_corpus, spark_files)
+    truth = {
+        (min(pos[a], pos[b]), max(pos[a], pos[b]))
+        for a, b in zip(tiny_corpus.truth_pairs.id_l, tiny_corpus.truth_pairs.id_r)
+    }
+    assert truth, "fixture must plant duplicate pairs"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.99, f"recall {recall:.3f} < 0.99 ({len(truth)} truth pairs)"
+    # exact verification makes precision exact (up to threshold boundary ties)
+    assert found <= truth, f"false positives: {sorted(found - truth)[:5]}"
+
+
+def test_cluster_assignment_matches_oracle(spark, tiny_corpus, spark_files):
+    edges_df = dedup_edges(spark_files, CFG)
+    clustered = assign_clusters(spark_files, edges_df).select("doc_id", "cluster_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in clustered.collect()}
+    pos = _pos_map(tiny_corpus, spark_files)
+    oracle = {
+        pos[int(r.doc_pos)]: pos[int(r.cluster_id)]
+        for r in tiny_corpus.truth_clusters.itertuples()
+    }
+    # compare as partitions (labels are representatives, ids differ)
+    def partition(assign):
+        groups = {}
+        for k, v in assign.items():
+            groups.setdefault(v, set()).add(k)
+        return {frozenset(g) for g in groups.values()}
+
+    assert partition(got) == partition(oracle)
+
+
+def test_exact_duplicates_native(spark, spark_files):
+    dups = exact_duplicates(spark_files, ["repo", "path", "commit"]).collect()
+    # fixture plants an exact copy in every cluster (member 1)
+    assert len(dups) >= 1
+    assert all(r["n_copies"] >= 2 for r in dups)
+
+
+def test_sha256_invariant_through_signature_stage(spark, spark_files):
+    """Per-row content sha256 must survive every stage table (BASELINE.json)."""
+    from probminhash_spark.operators.dedup import with_signature
+
+    staged = with_signature(
+        spark_files.withColumn("content_sha256", F.sha2("content", 256)), CFG
+    )
+    bad = staged.where(
+        F.sha2("content", 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0
+
+
+def test_connected_components_random_graphs(spark):
+    rng = np.random.default_rng(3)
+    for trial, algo in [(0, "two_phase"), (1, "two_phase"), (2, "label_prop")]:
+        n, m = 60, 45
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(src, dst) if a != b], "id_l long, id_r long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        # union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(src, dst):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = set(src.tolist()) | set(dst.tolist())
+        oracle = {i: find(i) for i in sorted(touched) if True}
+        # drop self-loop-only nodes absent from `got`
+        oracle = {k: v for k, v in oracle.items() if k in got}
+        assert got == oracle
+
+
+def test_connected_components_long_chain(spark):
+    """Adversarial chain: two-phase must converge in O(log n) rounds."""
+    n = 512
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_l long, id_r long"
+    )
+    comp = connected_components(edges, max_iterations=20)
+    vals = {r["component"] for r in comp.collect()}
+    assert vals == {0}
