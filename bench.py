@@ -1,0 +1,148 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` additionally runs the dedup pipeline at local[8] and local[32]
+on the same synthetic corpus and reports files/sec at both plus scaling
+efficiency (the BASELINE.json two-cluster-size criterion, sandbox protocol
+per BASELINE.md) — results land in BENCH/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q_window_top_orders",
+    "q_events_tumbling",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "text_token_stats",
+    "sketch_signatures",
+    "sketch_superminhash",
+]
+
+
+def _time_query(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def run_headline(sf_dir: str, cpus: str) -> dict:
+    import __spark_entry__ as entry_mod
+    from probminhash_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        try:
+            timings[name] = round(_time_query(qs[name](spark, sf_dir)), 3)
+        except Exception as exc:  # pragma: no cover
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.stop()
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    lsh_t = timings.get("dedup_minhash_lsh", 0)
+    files_per_sec = round(n_docs / lsh_t, 1) if lsh_t and lsh_t > 0 else 0.0
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "dedup_files_per_sec": files_per_sec,
+        "n_documents": n_docs,
+        "cpus": int(cpus),
+    }
+
+
+def _scaling_corpus(n_files: int) -> str:
+    """Deterministic bench corpus cached as parquet (FIXTURES.md F1 'bench')."""
+    path = f"/tmp/probminhash_bench_corpus_{n_files}.parquet"
+    if not os.path.exists(path):
+        from probminhash_spark.corpus import generate_files
+
+        generate_files(
+            n_files=n_files, n_clusters=n_files // 25, min_tokens=120, max_tokens=600
+        ).to_parquet(path)
+    return path
+
+
+def _dedup_wall_clock(master: str, corpus_path: str, shuffle_partitions: int) -> dict:
+    """sketch+band+candidates+verify wall clock (no checkpoint IO, no
+    clustering driver loop — the throughput-bound stages)."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.dedup import dedup_edges, with_doc_id
+    from probminhash_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle_partitions
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    files = with_doc_id(spark.read.parquet(corpus_path), ["repo", "path", "commit"])
+    n = files.count()
+    cfg = DedupConfig()
+    # warm-up (JIT, Arrow init) on a slice
+    dedup_edges(files.limit(200), cfg).write.format("noop").mode("overwrite").save()
+    t0 = time.time()
+    edges = dedup_edges(files, cfg)
+    edges.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    spark.stop()
+    return {"master": master, "files": n, "wall_sec": round(wall, 2),
+            "files_per_sec": round(n / wall, 1)}
+
+
+def run_scaling(n_files: int) -> dict:
+    corpus = _scaling_corpus(n_files)
+    lo = _dedup_wall_clock("local[8]", corpus, 16)
+    hi = _dedup_wall_clock("local[32]", corpus, 64)
+    eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
+    out = {
+        "metric": "dedup_scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low": lo,
+        "high": hi,
+        "n_files": n_files,
+    }
+    Path("BENCH").mkdir(exist_ok=True)
+    Path("BENCH/scaling.json").write_text(json.dumps(out, indent=2))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-files", type=int, default=20000)
+    args = ap.parse_args()
+    if args.scaling:
+        print(json.dumps(run_scaling(args.scaling_files)))
+        return 0
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    print(json.dumps(run_headline(sf_dir, cpus)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

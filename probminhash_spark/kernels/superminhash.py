@@ -7,16 +7,20 @@ Fisher-Yates permutation ``p``; slot ``p[j]`` receives candidate value
 ``r_j + j`` under min semantics (``superminhasher.rs:201-237``).
 
 Batch equivalence argument: the per-item draw stream is consumed in fixed
-``j`` order regardless of global state; iterations beyond the reference's
-``a_upper`` produce candidates with value ``r_j + j >= j > max slot value``
-which can never win, so running a *conservative* (stale, larger) per-doc upper
-bound yields the identical final sketch.  We recompute the per-doc bound
-between lane chunks: the histogram-driven shrink of ``a_upper``
-(``superminhasher.rs:221-237``) becomes ``floor(max_slot_value)`` — the
-tightest j that can still be beaten.
+``j`` order regardless of global state; iterations beyond the point where
+``r_j + j`` can still beat some slot of the item's document produce
+candidates that can never win, so evaluating with any *conservative* (stale,
+too large) per-doc upper bound yields the identical final sketch.  The
+histogram-driven shrink of ``a_upper`` (``superminhasher.rs:221-237``)
+becomes ``floor(max slot value)`` per doc, refreshed after every ``j``
+iteration; lanes whose doc bound has fallen below ``j`` are *compacted away*
+so each iteration costs O(live lanes) — the vectorized analogue of the
+reference's expected-O(1) per item amortized cost after saturation.
 
-The sketch value domain is [0, m) floats (``hsketch``), plus we carry the
-winning item hash per slot for direct 64-bit LSH banding.
+The sketch value domain is [0, m) floats (``hsketch``), plus the winning item
+hash per slot for direct 64-bit LSH banding (same equality semantics: the
+per-item permutation and values are deterministic functions of the item, so
+winner equality <=> value equality a.s.).
 """
 
 from __future__ import annotations
@@ -36,16 +40,6 @@ def _xoshiro_from_state(state: np.ndarray) -> Xoshiro256pp:
     return rng
 
 
-def _argmin_reduce(flat_keys, values, payload):
-    order = np.lexsort((values, flat_keys))
-    fk = flat_keys[order]
-    first = np.empty(fk.shape[0], dtype=bool)
-    first[0] = True
-    first[1:] = fk[1:] != fk[:-1]
-    sel = order[first]
-    return flat_keys[sel], values[sel], payload[sel]
-
-
 def superminhash_batch(
     doc_idx: np.ndarray,
     item_hash: np.ndarray,
@@ -56,16 +50,17 @@ def superminhash_batch(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Unweighted sketches -> (hsketch f64 (ndocs,m), winner item u64 (ndocs,m)).
 
-    Duplicate items are harmless (idempotent re-draws of the same stream,
-    exercised by ``setsketcher.rs:878-901`` for the same pattern) but callers
-    should dedupe for speed.
+    Duplicate items are harmless (idempotent re-draws of the same stream) but
+    callers should dedupe for speed.
     """
     doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
     item_hash = np.ascontiguousarray(item_hash, dtype=U64)
     vals = np.full(ndocs * m, _LARGE, dtype=np.float64)
     winner = np.zeros(ndocs * m, dtype=U64)
+    vals2d = vals.reshape(ndocs, m)
+    doc_upper = np.full(ndocs, m - 1, dtype=np.int64)  # floor(max slot) cap
     if lanes_per_chunk is None:
-        lanes_per_chunk = max(256, (1 << 22) // max(m, 1))
+        lanes_per_chunk = max(1024, (1 << 22) // max(m, 1))
 
     seeds = hash_u64(item_hash, hasher)
     n = doc_idx.shape[0]
@@ -75,41 +70,35 @@ def superminhash_batch(
         items = item_hash[lo:hi]
         state = Xoshiro256pp(seeds[lo:hi]).s
         nl = docs.shape[0]
-        # conservative per-lane upper bound: floor(max slot value) of the doc
-        doc_upper = np.minimum(
-            np.floor(vals.reshape(ndocs, m).max(axis=1)), m - 1
-        ).astype(np.int64)
-        upper = doc_upper[docs]
         p = np.tile(np.arange(m, dtype=np.int32), (nl, 1))
-        rows = np.arange(nl)
+        prow = np.arange(nl)  # live lane -> row in p
         rng = _xoshiro_from_state(state)
-        cand_flat, cand_val, cand_item = [], [], []
-        jmax = int(upper.max(initial=-1))
-        for j in range(jmax + 1):
-            active = upper >= j
-            if not active.any():
-                break
-            r = rng.next_f64(active)
-            k = rng.next_in_range(j, m, active).astype(np.int64)
-            ar = rows[active]
-            ak = k[active]
+        for j in range(m):
+            live = doc_upper[docs] >= j
+            if not live.all():
+                if not live.any():
+                    break
+                docs, items, prow = docs[live], items[live], prow[live]
+                rng.s = rng.s[live]
+            r = rng.next_f64()
+            k = rng.next_in_range(j, m).astype(np.int64)
             # lazy Fisher-Yates swap of positions j and k (superminhasher.rs:207-215)
-            pj = p[ar, j].copy()
-            p[ar, j] = p[ar, ak]
-            p[ar, ak] = pj
-            slot = p[ar, j].astype(np.int64)
-            cand_flat.append(docs[ar] * m + slot)
-            cand_val.append(r[active] + j)
-            cand_item.append(items[ar])
-        if cand_flat:
-            flat = np.concatenate(cand_flat)
-            val = np.concatenate(cand_val)
-            itm = np.concatenate(cand_item)
-            fk, fv, fi = _argmin_reduce(flat, val, itm)
-            better = fv < vals[fk]
-            vals[fk[better]] = fv[better]
-            winner[fk[better]] = fi[better]
-    return vals.reshape(ndocs, m), winner.reshape(ndocs, m)
+            pj = p[prow, j].copy()
+            p[prow, j] = p[prow, k]
+            p[prow, k] = pj
+            slot = p[prow, j].astype(np.int64)
+            flat = docs * m + slot
+            val = r + j
+            np.minimum.at(vals, flat, val)
+            won = vals[flat] == val
+            winner[flat[won]] = items[won]
+            # refresh per-doc upper for touched docs (cheap: few per chunk)
+            touched = np.unique(docs[won])
+            if touched.size:
+                doc_upper[touched] = np.minimum(
+                    np.floor(vals2d[touched].max(axis=1)), m - 1
+                ).astype(np.int64)
+    return vals2d, winner.reshape(ndocs, m)
 
 
 def superminhash_single(items, m, hasher="fnv1a64"):
