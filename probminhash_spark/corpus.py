@@ -34,9 +34,32 @@ class Corpus:
     threshold: float
 
 
-def _token_pool(rng: np.random.Generator, size: int = 8000) -> np.ndarray:
-    idents = [f"ident_{i:05d}" for i in range(size)]
-    return np.array(idents + _KEYWORDS * 20, dtype=object)
+_PREFIXES = (
+    "get set load parse merge split scan read write push pop emit bind map "
+    "fold sort filter join group agg hash index cache flush sync lock free "
+    "alloc init reset close open seek tell peek next prev last first"
+).split()
+_STEMS = (
+    "row col buf page block chunk span slice frame node edge leaf root tree "
+    "list dict heap queue stack ring pool slab arena token lexer parser ast "
+    "plan stage task job batch shard part seg region zone bucket slot cell "
+    "key val item entry record field tuple array vec str byte bit word"
+).split()
+
+
+def _token_pool(rng: np.random.Generator, size: int = 50_000) -> np.ndarray:
+    """Lexically diverse identifier pool (prefix_stem + numeric tail) so
+    unrelated files share almost no char n-grams, like real code."""
+    n_combo = len(_PREFIXES) * len(_STEMS)
+    idents = []
+    i = 0
+    while len(idents) < size:
+        p = _PREFIXES[i % len(_PREFIXES)]
+        s = _STEMS[(i // len(_PREFIXES)) % len(_STEMS)]
+        tail = i // n_combo
+        idents.append(f"{p}_{s}{tail}" if tail else f"{p}_{s}")
+        i += 1
+    return np.array(idents + _KEYWORDS, dtype=object)
 
 
 def _render(tokens: np.ndarray) -> str:
@@ -59,6 +82,22 @@ def _mutate(
     return out[keep]
 
 
+def _fresh_doc(rng: np.random.Generator, pool: np.ndarray, n_tokens: int) -> np.ndarray:
+    """Realistic source file: a small per-doc local vocabulary (like local
+    identifiers) mixed with global keywords, Zipf-ish usage — so unrelated
+    files have near-zero shingle Jaccard, like a real code corpus."""
+    vocab_size = max(12, n_tokens // 8)
+    local = rng.choice(pool, size=vocab_size, replace=False)
+    kw = np.array(_KEYWORDS, dtype=object)
+    ranks = np.arange(1, local.size + 1, dtype=np.float64)
+    p_local = 1.0 / (ranks + 2.0)
+    p_local *= 0.8 / p_local.sum()  # 80% of mass on doc-local identifiers
+    p_kw = np.full(kw.size, 0.2 / kw.size)
+    vocab = np.concatenate([local, kw])
+    p = np.concatenate([p_local, p_kw])
+    return rng.choice(vocab, size=n_tokens, p=p)
+
+
 def generate_files(
     n_files: int = 200,
     n_clusters: int = 8,
@@ -70,12 +109,13 @@ def generate_files(
     copy, further members mutated at escalating edit rates."""
     rng = np.random.default_rng(seed)
     pool = _token_pool(rng)
-    edit_rates = [0.0, 0.02, 0.05, 0.10, 0.20]
+    # member 0 = base, member 1 = exact copy, then escalating edits
+    edit_rates = [0.0, 0.0, 0.02, 0.05, 0.10, 0.20]
     rows = []
     cluster_sizes = rng.integers(2, 6, size=n_clusters)
     doc = 0
     for c in range(n_clusters):
-        base = rng.choice(pool, size=int(rng.integers(min_tokens, max_tokens)))
+        base = _fresh_doc(rng, pool, int(rng.integers(min_tokens, max_tokens)))
         for m in range(int(cluster_sizes[c])):
             rate = edit_rates[min(m, len(edit_rates) - 1)]
             toks = base if m == 0 else _mutate(rng, base, rate, pool)
@@ -90,7 +130,7 @@ def generate_files(
             )
             doc += 1
     while doc < n_files:
-        toks = rng.choice(pool, size=int(rng.integers(min_tokens, max_tokens)))
+        toks = _fresh_doc(rng, pool, int(rng.integers(min_tokens, max_tokens)))
         rows.append(
             {
                 "repo": f"org/repo-{doc % 97:05d}",

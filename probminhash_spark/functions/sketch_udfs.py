@@ -37,15 +37,22 @@ def _shingle_multiset(texts, cfg: DedupConfig):
 
 
 def _sketch_batch_np(texts, cfg: DedupConfig) -> np.ndarray:
-    """(ndocs, m) u64 signature matrix for a list of texts."""
+    """(ndocs, m) u64 signature matrix for a list of texts.
+
+    optdens/superminhash skip multiset dedup entirely — duplicate items are
+    idempotent under the min-reduce (same per-item draw stream), saving an
+    O(n log n) lexsort per batch.  probminhash3a needs multiplicities.
+    """
     ndocs = len(texts)
-    d, h, c = _shingle_multiset(texts, cfg)
     if cfg.algo == "optdens":
+        d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
         _, sig = optdens_minhash_batch(d, h, ndocs, cfg.num_hashes, cfg.hasher)
     elif cfg.algo == "probminhash3a":
+        d, h, c = _shingle_multiset(texts, cfg)
         w = c.astype(np.float64) if cfg.weighted else np.ones(d.shape[0])
         sig, _ = probminhash3a_batch(d, h, w, ndocs, cfg.num_hashes, cfg.hasher)
     elif cfg.algo == "superminhash":
+        d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
         _, sig = superminhash_batch(d, h, ndocs, cfg.num_hashes, cfg.hasher)
     else:  # pragma: no cover
         raise ValueError(cfg.algo)

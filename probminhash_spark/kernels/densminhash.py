@@ -5,19 +5,23 @@ Mai et al. 2020).  This is the reference's raw-speed sketch — exactly one RNG
 seed + 2 draws per item (``densminhash.rs:191-209``) — and our production
 default for LSH banding at 10^12-file scale.
 
-- sketch: per item, ``r ~ U[0,1)``, ``bin ~ U[0,m)`` from the item-seeded
-  Xoshiro256++; keep per-bin min ``r`` plus the winning item hash
-  (``values[k] = hval1``, ``densminhash.rs:203``).
+- sketch: per item, ``r ~ U[0,1)``, ``bin ~ U[0,m)``; keep per-bin min ``r``
+  plus the winning item hash (``values[k] = hval1``, ``densminhash.rs:203``).
+  Two rng modes:
+    * ``xoshiro`` — item-seeded Xoshiro256++ exactly like the reference.
+    * ``mix`` (default) — r/bin derived from two SplitMix64 finalizer calls on
+      the item hash.  Documented deviation: distribution-identical pairwise
+      independent draws at ~1/3 the arithmetic; the reference itself treats
+      the element hash as pluggable (``BuildHasherDefault<H>``).
 - densify: each empty bin ``k`` probes bins with an rng seeded ``k + 123743``
   until it hits a filled one and copies it (``densminhash.rs:225-253``).
-  The probe sequence is data-independent per bin, so we precompute one probe
-  table and densify the whole batch with gathers.  Documented deviation: the
-  probe rng is Xoshiro256++ instead of ChaCha12 — distribution-identical
-  uniform probes, stream-different.
+  The probe sequence is data-independent per bin, so one cached probe table
+  densifies whole batches with gathers.  Documented deviations: probe rng is
+  Xoshiro256++ instead of ChaCha12, and probes target originally-filled bins
+  (pure Shrivastava) rather than the reference's self-feeding sequential scan.
 
-Empty-slot filling mirrors get_hsketch_u64 (``densminhash.rs:117-133``): the
-signature carries winning item hashes, which band directly into 64-bit LSH
-keys.
+Duplicate items are idempotent under the min-reduce, so callers do NOT need
+to dedupe multisets first (big win: skips an O(n log n) lexsort per batch).
 """
 
 from __future__ import annotations
@@ -25,10 +29,28 @@ from __future__ import annotations
 import numpy as np
 
 from .hashes import hash_u64
-from .rng import Xoshiro256pp
+from .rng import Xoshiro256pp, splitmix64_mix, _umul128
 
 U64 = np.uint64
 _LARGE = float(np.uint32(0xFFFFFFFF))
+_C1 = U64(0x9E3779B97F4A7C15)
+_C2 = U64(0xD1B54A32D192ED03)
+
+
+def _draws(seeds: np.ndarray, m: int, rng_mode: str) -> tuple[np.ndarray, np.ndarray]:
+    """(r in [0,1), bin in [0,m)) per item."""
+    if rng_mode == "xoshiro":
+        rng = Xoshiro256pp(seeds)
+        r = rng.next_f64()
+        k = rng.next_below(m).astype(np.int64)
+        return r, k
+    with np.errstate(over="ignore", under="ignore"):
+        a = splitmix64_mix(seeds ^ _C1)
+        b = splitmix64_mix(seeds + _C2)
+        # bin from the top 32 bits: ((b >> 32) * m) >> 32 — exact for m < 2^32
+        k = ((b >> U64(32)) * U64(m)) >> U64(32)
+    r = ((a >> U64(12)) | U64(0x3FF0000000000000)).view(np.float64) - 1.0
+    return r, k.astype(np.int64)
 
 
 def optdens_minhash_batch(
@@ -37,6 +59,7 @@ def optdens_minhash_batch(
     ndocs: int,
     m: int,
     hasher: str = "nohash",
+    rng_mode: str = "mix",
 ) -> tuple[np.ndarray, np.ndarray]:
     """OPH+densification sketches -> (hsketch f64 (ndocs,m), values u64 (ndocs,m)).
 
@@ -46,24 +69,14 @@ def optdens_minhash_batch(
     doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
     item_hash = np.ascontiguousarray(item_hash, dtype=U64)
     seeds = hash_u64(item_hash, hasher)
-    rng = Xoshiro256pp(seeds)
-    r = rng.next_f64()
-    k = rng.next_below(m).astype(np.int64)
+    r, k = _draws(seeds, m, rng_mode)
 
     vals = np.full(ndocs * m, _LARGE, dtype=np.float64)
     winner = np.zeros(ndocs * m, dtype=U64)
     flat = doc_idx * m + k
-    # argmin per bin: reference uses `r <= hsketch` (last equal wins,
-    # densminhash.rs:201); ties on distinct items are measure-zero
-    order = np.lexsort((r, flat))
-    fk = flat[order]
-    first = np.empty(fk.shape[0], dtype=bool)
-    if fk.shape[0]:
-        first[0] = True
-        first[1:] = fk[1:] != fk[:-1]
-        sel = order[first]
-        vals[flat[sel]] = r[sel]
-        winner[flat[sel]] = seeds[sel]
+    np.minimum.at(vals, flat, r)
+    won = vals[flat] == r  # ties between distinct items are measure-zero
+    winner[flat[won]] = seeds[won]
 
     vals = vals.reshape(ndocs, m)
     winner = winner.reshape(ndocs, m)
@@ -71,12 +84,20 @@ def optdens_minhash_batch(
     return vals, winner
 
 
+_PROBE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def _probe_table(m: int, depth: int) -> np.ndarray:
     """Probe sequences per bin: row k = probes of rng(seed k+123743)
-    (``densminhash.rs:236``)."""
-    rng = Xoshiro256pp(np.arange(m, dtype=np.int64).astype(U64) + U64(123743))
-    cols = [rng.next_below(m).astype(np.int32) for _ in range(depth)]
-    return np.stack(cols, axis=1)  # (m, depth)
+    (``densminhash.rs:236``); cached — data-independent."""
+    key = (m, depth)
+    tbl = _PROBE_CACHE.get(key)
+    if tbl is None or tbl.shape[1] < depth:
+        rng = Xoshiro256pp(np.arange(m, dtype=np.int64).astype(U64) + U64(123743))
+        cols = [rng.next_below(m).astype(np.int32) for _ in range(depth)]
+        tbl = np.stack(cols, axis=1)  # (m, depth)
+        _PROBE_CACHE[key] = tbl
+    return tbl[:, :depth]
 
 
 def _densify(vals: np.ndarray, winner: np.ndarray, m: int) -> None:
@@ -87,27 +108,13 @@ def _densify(vals: np.ndarray, winner: np.ndarray, m: int) -> None:
     target = need & any_filled
     if not target.any():
         return
-    depth = 32
-    table = _probe_table(m, depth)
     docs = np.nonzero(target)[0]
-    # (doc, empty bin) pairs
     d_rep, bins = np.nonzero(~filled[docs])
     d_rep = docs[d_rep]
     pending = np.ones(d_rep.shape[0], dtype=bool)
     t = 0
-    rng_extra = None
     while pending.any():
-        if t >= table.shape[1]:
-            # extend probe table lazily
-            if rng_extra is None:
-                rng_extra = Xoshiro256pp(
-                    np.arange(m, dtype=np.int64).astype(U64) + U64(123743)
-                )
-                for _ in range(table.shape[1]):
-                    rng_extra.next_below(m)
-            table = np.concatenate(
-                [table, rng_extra.next_below(m).astype(np.int32)[:, None]], axis=1
-            )
+        table = _probe_table(m, max(32, t + 16))
         probe = table[bins[pending], t]
         rows = d_rep[pending]
         hit = filled[rows, probe]

@@ -6,12 +6,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+# numpy's MADV_HUGEPAGE on madvise-defrag kernels triggers synchronous page
+# compaction on every large allocation (~6x cold-path slowdown on microVM
+# kernels); glibc returning big buffers to the OS re-faults them each batch.
+# Must be in the environment before numpy import in each Python worker.
+_WORKER_ENV = {
+    "NUMPY_MADVISE_HUGEPAGE": "0",
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+}
+for _k, _v in _WORKER_ENV.items():
+    os.environ.setdefault(_k, _v)
+
 
 def get_spark(
     app_name: str = "probminhash-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int = 1024,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or reuse) a session configured for Arrow-batched UDF pipelines.
@@ -41,6 +53,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _WORKER_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
