@@ -104,14 +104,18 @@ def _dedup_wall_clock(master: str, corpus_path: str, shuffle_partitions: int) ->
     n = files.count()
     cfg = DedupConfig()
     # warm-up: one full pass so every reused Python worker has touched its
-    # arena (steady-state measurement — 100 TB executors are long-lived)
+    # arena; then min of 3 timed passes (steady-state — 100 TB executors are
+    # long-lived; this microVM has heavy run-to-run variance)
     dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    edges = dedup_edges(files, cfg)
-    edges.write.format("noop").mode("overwrite").save()
-    wall = time.time() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
+        walls.append(time.time() - t0)
+    wall = min(walls)
     spark.stop()
     return {"master": master, "files": n, "wall_sec": round(wall, 2),
+            "walls_all": [round(w, 2) for w in walls],
             "files_per_sec": round(n / wall, 1)}
 
 

@@ -219,16 +219,17 @@ def make_corpus(
 
 
 def inject_viral_block(
-    files: pd.DataFrame, fraction: float = 0.3, seed: int = 7
+    files: pd.DataFrame, fraction: float = 0.3, seed: int = 7, repeats: int = 3
 ) -> pd.DataFrame:
     """FIXTURES.md F5: paste one license-header block into a fraction of files
-    so one band key becomes a mega-bucket (skew stress)."""
+    so band keys become mega-buckets (skew stress).  ``repeats`` scales the
+    block so it can dominate the shingle set."""
     rng = np.random.default_rng(seed)
     block = (
         "// Licensed under the Apache License, Version 2.0 (the License);\n"
         "// you may not use this file except in compliance with the License.\n"
         "// You may obtain a copy of the License at http://www.apache.org/licenses/\n"
-    ) * 3
+    ) * repeats
     out = files.copy()
     hit = rng.random(len(out)) < fraction
     out.loc[hit, "content"] = block + out.loc[hit, "content"]

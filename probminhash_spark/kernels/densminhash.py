@@ -129,6 +129,60 @@ def _densify(vals: np.ndarray, winner: np.ndarray, m: int) -> None:
         t += 1
 
 
+def revoptdens_minhash_batch(
+    doc_idx: np.ndarray,
+    item_hash: np.ndarray,
+    ndocs: int,
+    m: int,
+    hasher: str = "nohash",
+    rng_mode: str = "mix",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reverse optimal densification (Mai et al. 2020; ``densminhash.rs:390-474``):
+    *filled* bins push their value into empty bins, multi-pass, which is the
+    better estimator when m >> set size (tiny files).  Probe rng seeded
+    ``(k+1)*m + pass + 253713`` (``densminhash.rs:447``); Xoshiro instead of
+    ChaCha12 (same deviation as optdens)."""
+    doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
+    item_hash = np.ascontiguousarray(item_hash, dtype=U64)
+    seeds = hash_u64(item_hash, hasher)
+    r, k = _draws(seeds, m, rng_mode)
+    vals = np.full(ndocs * m, _LARGE, dtype=np.float64)
+    winner = np.zeros(ndocs * m, dtype=U64)
+    flat = doc_idx * m + k
+    np.minimum.at(vals, flat, r)
+    won = vals[flat] == r
+    winner[flat[won]] = seeds[won]
+    vals = vals.reshape(ndocs, m)
+    winner = winner.reshape(ndocs, m)
+
+    filled0 = vals < _LARGE
+    need_docs = np.nonzero(filled0.any(axis=1) & ~filled0.all(axis=1))[0]
+    if need_docs.size:
+        passes = 0
+        empty_left = (~filled0[need_docs]).sum()
+        while empty_left and passes < 8 * m:
+            probe_rng = Xoshiro256pp(
+                (np.arange(m, dtype=np.int64).astype(U64) + U64(1)) * U64(m)
+                + U64(passes)
+                + U64(253713)
+            )
+            targets = probe_rng.next_below(m).astype(np.int64)  # per source bin
+            filled = vals[need_docs] < _LARGE
+            # every filled (doc, bin) pushes into its pass target if empty
+            d_idx, src_bin = np.nonzero(filled)
+            tgt = targets[src_bin]
+            is_empty = ~filled[d_idx, tgt]
+            d_sel, s_sel, t_sel = d_idx[is_empty], src_bin[is_empty], tgt[is_empty]
+            rows = need_docs[d_sel]
+            # conflicts (two sources -> same empty target) resolved by last
+            # write; the reference resolves by scan order — documented deviation
+            vals[rows, t_sel] = vals[rows, s_sel]
+            winner[rows, t_sel] = winner[rows, s_sel]
+            passes += 1
+            empty_left = (vals[need_docs] >= _LARGE).sum()
+    return vals, winner
+
+
 def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     """Equal-slot fraction (``jaccard.rs:9-19``; any PartialEq slot type)."""
     return float(np.mean(sig_a == sig_b))

@@ -63,30 +63,48 @@ def candidate_pairs(
     cfg: DedupConfig,
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join band buckets into candidate pairs (id_l < id_r), with the
-    bucket-size cap skew policy.
+    """Band buckets -> candidate pairs (id_l < id_r) with the explicit skew
+    policy (SURVEY.md §2.2): buckets up to ``bucket_cap`` expand pairwise via
+    self-join (O(size^2)); larger (viral/mega) buckets expand as a *star*
+    around the bucket's min id (O(size)) — bounded cost, exact-duplicate
+    recall preserved (dup groups still connect through the anchor), and every
+    capped bucket is reported in the audit side-channel.
 
-    Returns (pairs, dropped_buckets) — dropped buckets are the auditable
-    side-channel counter required by the north rule (SURVEY.md §2.2).
+    Returns (pairs, capped_buckets).
     """
-    counts = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("bucket_size"))
-    keep = counts.filter(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
+    # ONE shuffle: group bucket members into an array, expand pairs natively
+    # (whole-stage codegen; no self-join, no second shuffle)
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
     )
-    dropped = counts.filter(F.col("bucket_size") > cfg.bucket_cap)
-    # inner-join against kept buckets prunes singletons before the self-join
-    pruned = bands.join(
-        F.broadcast(keep.select("band_id", "band_key")), ["band_id", "band_key"]
+    buckets = buckets.filter(F.size("ids") >= 2)
+    capped = buckets.filter(F.size("ids") > cfg.bucket_cap).select(
+        "band_id", "band_key", F.size("ids").alias("bucket_size")
     )
-    left = pruned.select("band_id", "band_key", F.col(id_col).alias("id_l"))
-    right = pruned.select("band_id", "band_key", F.col(id_col).alias("id_r"))
-    pairs = (
-        left.join(right, ["band_id", "band_key"])
-        .where(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
-        .dropDuplicates(["id_l", "id_r"])
+    pairs_small = (
+        buckets.filter(F.size("ids") <= cfg.bucket_cap)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS id_l, y AS id_r))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_l", "p.id_r")
     )
-    return pairs, dropped
+    # star expansion for mega buckets: every member pairs with the min id only
+    pairs_star = (
+        buckets.filter(F.size("ids") > cfg.bucket_cap)
+        .select(
+            F.col("ids")[0].alias("id_l"),
+            F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias("id_r"),
+        )
+        .where(F.col("id_l") != F.col("id_r"))
+    )
+    pairs = pairs_small.unionByName(pairs_star).dropDuplicates(["id_l", "id_r"])
+    return pairs, capped
 
 
 def estimate_pair_jaccard(
@@ -99,8 +117,12 @@ def estimate_pair_jaccard(
     """Attach Ĵ = equal-slot fraction of the two signatures — native zip_with,
     stays in codegen (S29, ``jaccard.rs:9-19``)."""
     s = sig_df.select(F.col(id_col), F.col(sig_col))
+    # pairs are tiny relative to the corpus: broadcast them so the signature
+    # table streams map-side with no shuffle or sort (at 10^12 scale swap for
+    # a co-partitioned join on id buckets)
     out = (
-        pairs.join(s.withColumnsRenamed({id_col: "id_l", sig_col: "sig_l"}), "id_l")
+        F.broadcast(pairs)
+        .join(s.withColumnsRenamed({id_col: "id_l", sig_col: "sig_l"}), "id_l")
         .join(s.withColumnsRenamed({id_col: "id_r", sig_col: "sig_r"}), "id_r")
         .withColumn(
             "j_est",
@@ -134,9 +156,8 @@ def verify_pairs(
     c = docs.select(F.col(id_col), F.col(content_col))
     exact_j = make_exact_jaccard_udf(cfg)
     return (
-        surv.join(
-            c.withColumnsRenamed({id_col: "id_l", content_col: "content_l"}), "id_l"
-        )
+        F.broadcast(surv)
+        .join(c.withColumnsRenamed({id_col: "id_l", content_col: "content_l"}), "id_l")
         .join(c.withColumnsRenamed({id_col: "id_r", content_col: "content_r"}), "id_r")
         .withColumn("j_exact", exact_j(F.col("content_l"), F.col("content_r")))
         .drop("content_l", "content_r")

@@ -1,0 +1,113 @@
+"""Tests for the remaining sketch families: ProbMinHash2, ProbOrdMinHash2,
+RevOptDensMinHash — mirroring the reference's own test designs."""
+
+import numpy as np
+
+from probminhash_spark.kernels.densminhash import revoptdens_minhash_batch
+from probminhash_spark.kernels.jaccard import exact_weighted_jaccard, sigma, sketch_jaccard
+from probminhash_spark.kernels.probminhash2 import probminhash2_batch, probminhash2_single
+from probminhash_spark.kernels.probminhash import probminhash3a_single
+from probminhash_spark.kernels.probordminhash2 import ProbOrdMinHash2
+
+U64 = np.uint64
+VA = np.arange(0, 1000, dtype=np.int64).astype(U64)
+VB = np.arange(900, 2000, dtype=np.int64).astype(U64)
+J_AB = 100 / 2000
+
+
+def test_probminhash2_equal_weights_jaccard():
+    # probminhash2.rs:158-233 analogue
+    m = 1000
+    siga, _ = probminhash2_single(VA, np.full(VA.size, 10.0), m)
+    sigb, _ = probminhash2_single(VB, np.full(VB.size, 10.0), m)
+    jhat = sketch_jaccard(siga, sigb)
+    assert abs(jhat - J_AB) < 3 * sigma(J_AB, m)
+
+
+def test_probminhash2_weighted_jp():
+    # probminhash2.rs:236-309 analogue: wa=2i (i<70), wb=i^4 (i>=50)
+    m = 2000
+    ia = np.arange(1, 70, dtype=np.int64)
+    wa = 2.0 * ia
+    ib = np.arange(50, 100, dtype=np.int64)
+    wb = ib.astype(np.float64) ** 4
+    jp = exact_weighted_jaccard(
+        dict(zip(ia.tolist(), wa.tolist())), dict(zip(ib.tolist(), wb.tolist()))
+    )
+    siga, _ = probminhash2_single(ia.astype(U64), wa, m)
+    sigb, _ = probminhash2_single(ib.astype(U64), wb, m)
+    jhat = sketch_jaccard(siga, sigb)
+    assert abs(jhat - jp) < 3 * sigma(jp, m)
+
+
+def test_probminhash2_agrees_with_3a():
+    """Both estimate the same J_p on the same input (independent algorithms)."""
+    m = 1500
+    ia = np.arange(1, 101, dtype=np.int64).astype(U64)
+    w = np.linspace(1.0, 5.0, 100)
+    s2, _ = probminhash2_single(ia, w, m)
+    s3, _ = probminhash3a_single(ia, w, m)
+    # self-similarity across algorithms is meaningless; compare their
+    # J estimates on a perturbed copy
+    ib = ia.copy()
+    ib[:30] += U64(10_000)
+    t2, _ = probminhash2_single(ib, w, m)
+    t3, _ = probminhash3a_single(ib, w, m)
+    j2 = sketch_jaccard(s2, t2)
+    j3 = sketch_jaccard(s3, t3)
+    assert abs(j2 - j3) < 6 * sigma(max(j2, j3, 0.01), m)
+
+
+def test_probminhash2_batch_orderfree():
+    m = 256
+    ia = np.arange(1, 71, dtype=np.int64).astype(U64)
+    wa = np.linspace(1, 10, 70)
+    s1, v1 = probminhash2_single(ia, wa, m)
+    perm = np.random.default_rng(0).permutation(70)
+    s2, v2 = probminhash2_single(ia[perm], wa[perm], m)
+    assert np.array_equal(s1, s2) and np.array_equal(v1, v2)
+
+
+def test_probordminhash2_order_sensitivity_and_determinism():
+    pom = ProbOrdMinHash2(m=64, l=2, seed=123)
+    seq = np.arange(100, dtype=np.int64).astype(U64)
+    s1 = pom.hash_seq(seq)
+    s2 = pom.hash_seq(seq)
+    assert np.array_equal(s1, s2), "deterministic for fixed seed"
+    # reversed sequence must give a very different signature (order matters)
+    s3 = pom.hash_seq(seq[::-1].copy())
+    assert np.mean(s1 == s3) < 0.2
+    # small perturbation -> high similarity (edit-distance LSH property,
+    # probordminhash2.rs:332-344)
+    seq4 = seq.copy()
+    seq4[50] = U64(9999)
+    s4 = pom.hash_seq(seq4)
+    assert np.mean(s1 == s4) > 0.6
+
+
+def test_probordminhash2_duplicates_distinguished():
+    """Repeated elements use occurrence counters (probordminhash2.rs:253-266):
+    sequences with different repetition patterns must differ."""
+    pom = ProbOrdMinHash2(m=32, l=3, seed=7)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1000, 120).astype(U64)
+    a = base
+    b = base.copy()
+    b[::2] = base[::2][::-1]  # same multiset, scrambled order
+    sa, sb = pom.hash_seq(a), pom.hash_seq(b)
+    assert not np.array_equal(sa, sb)
+    assert np.mean(sa == sb) < 0.6
+
+
+def test_revoptdens_small_sets_3sigma():
+    """m >> set size is RevOptDens's regime (densminhash.rs:36-38)."""
+    m = 1024
+    va = np.arange(0, 100, dtype=np.int64).astype(U64)
+    vb = np.arange(90, 200, dtype=np.int64).astype(U64)
+    j = 10 / 200
+    doc = np.concatenate([np.zeros(va.size, np.int64), np.ones(vb.size, np.int64)])
+    items = np.concatenate([va, vb])
+    vals, win = revoptdens_minhash_batch(doc, items, 2, m, hasher="fnv1a64")
+    assert (vals < float(np.uint32(0xFFFFFFFF))).all(), "all bins densified"
+    jhat = float(np.mean(win[0] == win[1]))
+    assert abs(jhat - j) < 5 * sigma(j, m)
