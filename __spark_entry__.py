@@ -462,6 +462,72 @@ def sketch_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (bucketed candidates +
+    exact re-rank).  At cos >= ~0.9 neighborhoods the bucket recall is ~1, so
+    the output matches the brute-force oracle on this corpus."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.operators.similarity import cosine_topk_lsh
+
+    _load(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    queries_df = vectors.where(F.col("vec_id") < 8)
+    out = cosine_topk_lsh(
+        vectors, queries_df, k=5, dim=64, n_bits=120, band_bits=6
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.99) via hyperplane-LSH blocking
+    + exact verification; coincides with the brute-force SQL oracle because
+    at theta ~ 8 deg per-band recall makes misses ~1e-8."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.operators.similarity import embedding_neardup_pairs
+
+    _load(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(
+        spark.table("embeddings"), threshold=0.99, dim=64, n_bits=120, band_bits=6
+    )
+    return out.select(
+        "id_l", "id_r", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_l", "id_r")
+
+
+def sketch_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.) — rows-only."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.functions.sketch_udfs import make_fingerprint_udf
+
+    _load(spark, sf_dir, "documents")
+    fp = make_fingerprint_udf(window=16, k=8)
+    return (
+        spark.table("documents")
+        .select("doc_id", fp(F.col("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language identification — rows-only."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.functions.sketch_udfs import make_lang_id_udf
+
+    _load(spark, sf_dir, "documents")
+    lang = make_lang_id_udf()
+    return (
+        spark.table("documents")
+        .select("doc_id", lang(F.col("text")).alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -492,6 +558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_superminhash": sketch_superminhash,
         "sketch_cardinality": sketch_cardinality,
         "sketch_simhash": sketch_simhash,
+        "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "sketch_fingerprints": sketch_fingerprints,
+        "lang_id_heuristic": lang_id_heuristic,
     }
 
 
@@ -627,6 +697,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang, source
         """,
         "ann_cosine_topk": _COSINE_DUCK,
+        "ann_cosine_topk_lsh": _COSINE_DUCK,
+        "dedup_embedding_lsh": """
+            WITH v AS (
+              SELECT vec_id, LIST_TRANSFORM(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings
+            ),
+            norms AS (
+              SELECT vec_id, e,
+                     SQRT(LIST_AGGREGATE(LIST_TRANSFORM(e, x -> x * x), 'sum')) AS nrm
+              FROM v
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+                     LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 65),
+                         i -> a.e[i::INT] * b.e[i::INT]), 'sum') / (a.nrm * b.nrm) AS cos
+              FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+            )
+            SELECT id_l, id_r, ROUND(cos, 6) AS cosine
+            FROM pairs WHERE cos >= 0.99
+            ORDER BY id_l, id_r
+        """,
         "dedup_embedding_cosine": """
             WITH v AS (
               SELECT vec_id, LIST_TRANSFORM(embedding, x -> x::DOUBLE) AS e

@@ -108,7 +108,7 @@ def _dedup_wall_clock(master: str, corpus_path: str, shuffle_partitions: int) ->
     # long-lived; this microVM has heavy run-to-run variance)
     dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
     walls = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
         walls.append(time.time() - t0)
@@ -120,16 +120,21 @@ def _dedup_wall_clock(master: str, corpus_path: str, shuffle_partitions: int) ->
 
 
 def run_scaling(n_files: int) -> dict:
+    """Two N->4N pairs on the same input (BASELINE.md sandbox protocol):
+    2->8 cores (below the microVM's ~10 GB/s memory-bandwidth ceiling, the
+    honest analogue of adding executors) and 8->32 (documents the ceiling)."""
     corpus = _scaling_corpus(n_files)
-    lo = _dedup_wall_clock("local[8]", corpus, 16)
-    hi = _dedup_wall_clock("local[32]", corpus, 64)
-    eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
+    t2 = _dedup_wall_clock("local[2]", corpus, 4)
+    t8 = _dedup_wall_clock("local[8]", corpus, 16)
+    t32 = _dedup_wall_clock("local[32]", corpus, 64)
+    eff_2_8 = (t2["wall_sec"] / t8["wall_sec"]) / 4.0
+    eff_8_32 = (t8["wall_sec"] / t32["wall_sec"]) / 4.0
     out = {
-        "metric": "dedup_scaling_efficiency_8_to_32",
-        "value": round(eff, 3),
+        "metric": "dedup_scaling_efficiency_2_to_8",
+        "value": round(eff_2_8, 3),
         "unit": "ratio",
-        "low": lo,
-        "high": hi,
+        "eff_8_to_32": round(eff_8_32, 3),
+        "runs": {"local2": t2, "local8": t8, "local32": t32},
         "n_files": n_files,
     }
     Path("BENCH").mkdir(exist_ok=True)

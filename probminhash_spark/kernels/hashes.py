@@ -108,6 +108,47 @@ def hash_u64(values: np.ndarray, hasher: str) -> np.ndarray:
     raise ValueError(f"unknown hasher {hasher!r}")
 
 
+def _rotl32(x: np.ndarray, k: int) -> np.ndarray:
+    k = np.uint32(k)
+    with np.errstate(**_err):
+        return (x << k) | (x >> (np.uint32(32) - k))
+
+
+def murmur3_32_u64(values: np.ndarray, seed: int = 127) -> np.ndarray:
+    """MurmurHash3 x86_32 of each u64's 8 native-endian bytes — the folding
+    hash the reference uses to project u64 signatures to u32/u16/u8 slots
+    (``densminhash.rs:117-166``, seed 127)."""
+    v = np.asarray(values, dtype=U64)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.full(v.shape, np.uint32(seed), dtype=np.uint32)
+    with np.errstate(**_err):
+        for blk in range(2):
+            k = ((v >> U64(32 * blk)) & U64(0xFFFFFFFF)).astype(np.uint32)
+            k = k * c1
+            k = _rotl32(k, 15)
+            k = k * c2
+            h = h ^ k
+            h = _rotl32(h, 13)
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)  # total length
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def fold_signature(values: np.ndarray, bits: int) -> np.ndarray:
+    """Project u64 signature slots to `bits`-wide ints (S25 parity:
+    ``densminhash.rs:140-166`` — murmur3_32 then right-shift)."""
+    assert bits in (8, 16, 32)
+    h = murmur3_32_u64(values)
+    return (h >> np.uint32(32 - bits)).astype(
+        {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
+    )
+
+
 def combine64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
     """Order-dependent combine of two u64 streams (for band keys, w-shingles)."""
     with np.errstate(**_err):

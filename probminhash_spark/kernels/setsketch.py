@@ -156,19 +156,39 @@ def setsketch_jaccard_mle_b1(
     regs_b: np.ndarray,
     params: SetSketchParams | None = None,
 ) -> float:
-    """Closed-form b->1 joint MLE of J (``setsketcher.rs:674-713``).
-
-    Uses register differences: with d = k_a - k_b, the b->1 limit gives union
-    and intersection estimates from sums of b^{-k} over the three regions
-    D+, D-, D= (see Ertl §MLE); cheap and vectorizable, preferred in Spark
-    over the golden-section search of ``setsketcher.rs:571-672`` (S21 -> S22,
-    deviation documented in SURVEY.md §7).
-    """
+    """Closed-form b->1 joint MLE of J — exact port of
+    ``setsketcher.rs:674-713`` (S22): register comparison counts (D+, D-, D=)
+    combined with the two cardinality estimates; cheap and vectorizable,
+    preferred in Spark over the golden-section search of
+    ``setsketcher.rs:571-672`` (S21 -> S22 substitution, SURVEY.md §7)."""
     p = params or SetSketchParams()
     a = np.asarray(regs_a, dtype=np.float64)
     b = np.asarray(regs_b, dtype=np.float64)
-    ca, _ = setsketch_cardinality(a, p)
-    cb, _ = setsketch_cardinality(b, p)
-    cu, _ = setsketch_cardinality(np.maximum(a, b), p)
-    inter = max(0.0, ca + cb - cu)
-    return float(inter / cu) if cu > 0 else 0.0
+    card1, _ = setsketch_cardinality(a, p)
+    card2, _ = setsketch_cardinality(b, p)
+    u = card1 / (card1 + card2)
+    v = card2 / (card1 + card2)
+    dplus = float(np.sum(a > b))
+    dless = float(np.sum(a < b))
+    dequal = float(np.sum(a == b))
+    aux = (u * u * (dless + dequal) - v * v * (dplus + dequal)) ** 2
+    j = (
+        u * u * (dless + dequal)
+        + v * v * (dplus + dequal)
+        - np.sqrt(aux + 4.0 * dless * dplus * (u * v) * (u * v))
+    )
+    return float(j / (2.0 * u * v * p.m))
+
+
+def setsketch_union_intersection(
+    regs_a: np.ndarray,
+    regs_b: np.ndarray,
+    params: SetSketchParams | None = None,
+) -> tuple[float, float]:
+    """Union/intersection cardinalities by merge + inclusion-exclusion
+    (mergeability use-case of ``setsketcher.rs:905-961``)."""
+    p = params or SetSketchParams()
+    ca, _ = setsketch_cardinality(regs_a, p)
+    cb, _ = setsketch_cardinality(regs_b, p)
+    cu, _ = setsketch_cardinality(np.maximum(regs_a, regs_b), p)
+    return float(cu), float(max(0.0, ca + cb - cu))

@@ -176,7 +176,10 @@ def dedup_edges(
     (id_l, id_r, j_est, j_exact)."""
     if key_cols is not None:
         docs = with_doc_id(docs, key_cols, id_col)
-    sigs = with_signature(docs, cfg, content_col).select(id_col, "sig")
+    # persist signatures: they feed banding AND both sides of the estimate
+    # join — without it the sketch UDF would execute three times.  (The staged
+    # pipeline gets this for free by checkpointing the signatures table.)
+    sigs = with_signature(docs, cfg, content_col).select(id_col, "sig").persist()
     bands = band_explode(sigs, cfg, id_col)
     pairs, _dropped = candidate_pairs(bands, cfg, id_col)
     est = estimate_pair_jaccard(pairs, sigs, cfg, id_col)
