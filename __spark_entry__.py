@@ -73,7 +73,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o.o_orderkey AS orderkey,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-               o.o_orderdate AS orderdate
+               CAST(o.o_orderdate AS DATE) AS orderdate
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -110,7 +110,7 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-               ROUND(o_totalprice, 2) AS totalprice, rk
+               ROUND(o_totalprice, 2) AS totalprice, CAST(rk AS BIGINT) AS rk
         FROM (
           SELECT o_custkey, o_orderkey, o_totalprice,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -273,9 +273,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT doc_id,
-               SIZE(SPLIT(text, ' ')) AS n_tokens,
-               SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS n_distinct_tokens,
-               LENGTH(text) AS n_chars_actual,
+               CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
                ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
                      / SIZE(SPLIT(text, ' ')), 6) AS avg_token_len
         FROM documents
@@ -319,7 +319,7 @@ pairs AS (
                    CAST(0 AS DOUBLE), (a, x) -> a + x) / (q.nrm * c.nrm) AS cos
   FROM norms q JOIN norms c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
 )
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rk
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rk
@@ -344,7 +344,7 @@ pairs AS (
              i -> q.e[i::INT] * c.e[i::INT]), 'sum') / (q.nrm * c.nrm) AS cos
   FROM norms q JOIN norms c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
 )
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rk
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rk
@@ -476,8 +476,13 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_lsh(
         vectors, queries_df, k=5, dim=64, n_bits=120, band_bits=6
     )
+    import pyspark.sql.functions as F2
+
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F2.col("rk").cast("bigint").alias("rk"),
     ).orderBy("query_id", "rk")
 
 
@@ -583,7 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": """
             SELECT o.o_orderkey AS orderkey,
                    ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-                   o.o_orderdate AS orderdate
+                   CAST(o.o_orderdate AS DATE) AS orderdate
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -606,7 +611,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_window_top_orders": """
             SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-                   ROUND(o_totalprice, 2) AS totalprice, rk
+                   ROUND(o_totalprice, 2) AS totalprice, CAST(rk AS BIGINT) AS rk
             FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
                      ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -697,7 +702,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang, source
         """,
         "ann_cosine_topk": _COSINE_DUCK,
-        "ann_cosine_topk_lsh": _COSINE_DUCK,
+        # ann_cosine_topk_lsh: intentionally no oracle — approximate top-k of
+        # arbitrary-distance neighbors has no recall guarantee, so the driver
+        # records the rows-only check; accuracy vs brute force is asserted in
+        # tests/test_similarity_streaming_multimodal.py (recall >= 0.8).
         "dedup_embedding_lsh": """
             WITH v AS (
               SELECT vec_id, LIST_TRANSFORM(embedding, x -> x::DOUBLE) AS e

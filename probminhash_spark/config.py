@@ -44,7 +44,7 @@ class DedupConfig:
             )
         if self.shingle_mode not in ("char", "token"):
             raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
-        if self.algo not in ("optdens", "probminhash3a", "superminhash"):
+        if self.algo not in ("optdens", "probminhash3a", "probminhash2", "superminhash"):
             raise ValueError(f"bad algo {self.algo!r}")
 
     def to_json(self) -> str:

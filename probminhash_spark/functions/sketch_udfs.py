@@ -51,6 +51,12 @@ def _sketch_batch_np(texts, cfg: DedupConfig) -> np.ndarray:
         d, h, c = _shingle_multiset(texts, cfg)
         w = c.astype(np.float64) if cfg.weighted else np.ones(d.shape[0])
         sig, _ = probminhash3a_batch(d, h, w, ndocs, cfg.num_hashes, cfg.hasher)
+    elif cfg.algo == "probminhash2":
+        from ..kernels.probminhash2 import probminhash2_batch
+
+        d, h, c = _shingle_multiset(texts, cfg)
+        w = c.astype(np.float64) if cfg.weighted else np.ones(d.shape[0])
+        sig, _ = probminhash2_batch(d, h, w, ndocs, cfg.num_hashes, cfg.hasher)
     elif cfg.algo == "superminhash":
         d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
         _, sig = superminhash_batch(d, h, ndocs, cfg.num_hashes, cfg.hasher)

@@ -50,8 +50,9 @@ def probminhash2_batch(
     if not keep.all():
         doc_idx, item_hash, weights = doc_idx[keep], item_hash[keep], weights[keep]
     item_hash = np.ascontiguousarray(item_hash, dtype=U64)
-    betas = m / (m - np.arange(m, dtype=np.float64) - 1.0)  # last entry inf-ish
-    betas[-1] = np.inf
+    with np.errstate(divide="ignore"):
+        betas = m / (m - np.arange(m, dtype=np.float64) - 1.0)
+    betas[-1] = np.inf  # i == m-1 must terminate (probminhash2.rs:102 assert)
 
     vals = np.full(ndocs * m, np.inf, dtype=np.float64)
     sig = np.zeros(ndocs * m, dtype=U64)

@@ -39,15 +39,28 @@ from .manifest import stage_complete, stage_dir, write_manifest
 KEY_COLS = ["repo", "path", "commit"]
 
 
-def _write(df: DataFrame, root: str, stage: str, partition_by: list[str] | None = None):
-    w = df.write.mode("overwrite")
+def _write(
+    df: DataFrame,
+    root: str,
+    stage: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+):
+    """Stage-table writer.  ``fmt='iceberg'`` is the production seam (the
+    sandbox has no Iceberg runtime jar); parquet directories otherwise."""
+    w = df.write.mode("overwrite").format(fmt)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(str(stage_dir(root, stage) / "data"))
+    if fmt == "iceberg":  # pragma: no cover - needs a catalog + runtime jar
+        w.saveAsTable(f"{root}.{stage}")
+    else:
+        w.save(str(stage_dir(root, stage) / "data"))
 
 
-def _read(spark: SparkSession, root: str, stage: str) -> DataFrame:
-    return spark.read.parquet(str(stage_dir(root, stage) / "data"))
+def _read(spark: SparkSession, root: str, stage: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "iceberg":  # pragma: no cover
+        return spark.read.table(f"{root}.{stage}")
+    return spark.read.format(fmt).load(str(stage_dir(root, stage) / "data"))
 
 
 def run_pipeline(
