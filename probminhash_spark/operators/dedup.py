@@ -73,7 +73,8 @@ def candidate_pairs(
     Returns (pairs, capped_buckets).
     """
     # ONE shuffle: group bucket members into an array, expand pairs natively
-    # (whole-stage codegen; no self-join, no second shuffle)
+    # in a single CASE branch (no self-join; one subtree so the upstream
+    # sketch UDF executes exactly once in the candidate plan)
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
@@ -81,29 +82,22 @@ def candidate_pairs(
     capped = buckets.filter(F.size("ids") > cfg.bucket_cap).select(
         "band_id", "band_key", F.size("ids").alias("bucket_size")
     )
-    pairs_small = (
-        buckets.filter(F.size("ids") <= cfg.bucket_cap)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(x AS id_l, y AS id_r))))"
-                )
-            ).alias("p")
-        )
+    expand = (
+        "CASE WHEN size(ids) <= {cap} THEN "
+        "  flatten(transform(ids, (x, i) ->"
+        "    transform(slice(ids, i + 2, size(ids) - i - 1),"
+        "    y -> struct(x AS id_l, y AS id_r)))) "
+        "ELSE "  # star expansion: every member pairs with the min id only
+        "  transform(slice(ids, 2, size(ids) - 1),"
+        "    y -> struct(element_at(ids, 1) AS id_l, y AS id_r)) "
+        "END"
+    ).format(cap=cfg.bucket_cap)
+    pairs = (
+        buckets.select(F.explode(F.expr(expand)).alias("p"))
         .select("p.id_l", "p.id_r")
-    )
-    # star expansion for mega buckets: every member pairs with the min id only
-    pairs_star = (
-        buckets.filter(F.size("ids") > cfg.bucket_cap)
-        .select(
-            F.col("ids")[0].alias("id_l"),
-            F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias("id_r"),
-        )
         .where(F.col("id_l") != F.col("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
     )
-    pairs = pairs_small.unionByName(pairs_star).dropDuplicates(["id_l", "id_r"])
     return pairs, capped
 
 
