@@ -533,6 +533,39 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_ordminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive edit-distance signatures (ProbOrdMinHash2 S27/S28)
+    over token sequences — rows-only (not SQL-expressible)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.functions.sketch_udfs import make_ordminhash_udf
+
+    _load(spark, sf_dir, "documents")
+    om = make_ordminhash_udf(m=16, l=2)
+    return (
+        spark.table("documents")
+        .select("doc_id", om(F.col("text")).alias("ord_sig"))
+        .orderBy("doc_id")
+    )
+
+
+def sketch_group_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetSketch merge payoff (S19): per-source union sketches -> distinct
+    shingle estimates — rows-only (sketch-valued)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.sketch_ops import group_distinct_shingles
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(setsketch_m=256)
+    docs = spark.table("documents").selectExpr("source", "text AS content")
+    out = group_distinct_shingles(docs, ["source"], cfg)
+    return out.select(
+        "source", "n_docs", F.round("est_distinct_shingles", 2).alias("est_distinct_shingles")
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -567,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "sketch_fingerprints": sketch_fingerprints,
         "lang_id_heuristic": lang_id_heuristic,
+        "sketch_ordminhash": sketch_ordminhash,
+        "sketch_group_cardinality": sketch_group_cardinality,
     }
 
 

@@ -183,6 +183,38 @@ def make_simhash_udf(cfg: DedupConfig):
     return simhash
 
 
+def make_ordminhash_udf(m: int = 32, l: int = 2, seed: int = 0x5EED):
+    """content -> order-sensitive edit-distance signature (ProbOrdMinHash2,
+    S27/S28) over the document's token-hash sequence.
+
+    The l-minima store is inherently sequential per document
+    (``probordminhash2.rs:85-115``), so this is a parity/moderate-scale
+    operator (per-doc loop inside the Arrow batch), not the 10^12-file hot
+    path — winnowing fingerprints cover order-sensitive dedup at scale.
+    """
+    from ..kernels.probordminhash2 import ProbOrdMinHash2
+    from ..kernels.shingles import token_hashes
+
+    @pandas_udf(ArrayType(LongType()))
+    def ordminhash(content: pd.Series) -> pd.Series:
+        texts = content.fillna("").tolist()
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        d, th = token_hashes(texts)
+        pom = ProbOrdMinHash2(m=m, l=l, seed=seed)
+        bounds = np.searchsorted(d, np.arange(n + 1))
+        out = []
+        for i in range(n):
+            seq = th[bounds[i] : bounds[i + 1]]
+            if seq.size < l:
+                seq = np.concatenate([seq, np.zeros(l - seq.size, dtype=U64)])
+            out.append(pom.hash_seq(seq).view(np.int64))
+        return pd.Series(out)
+
+    return ordminhash
+
+
 # ---------------------------------------------------------------------------
 # text-analysis UDFs (training-data pipeline ops)
 # ---------------------------------------------------------------------------

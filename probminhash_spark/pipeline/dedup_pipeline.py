@@ -69,6 +69,7 @@ def run_pipeline(
     cfg: DedupConfig,
     checkpoint_root: str,
     sketch_partitions: int = 0,
+    fmt: str = "parquet",
 ) -> dict:
     """Run (or resume) the full pipeline; returns a counters summary dict."""
     fp = cfg.fingerprint()
@@ -76,7 +77,7 @@ def run_pipeline(
 
     # ---- stage 1: signatures -------------------------------------------
     if stage_complete(checkpoint_root, "signatures", fp):
-        sigs = _read(spark, checkpoint_root, "signatures")
+        sigs = _read(spark, checkpoint_root, "signatures", fmt)
         counters["resumed_stages"].append("signatures")
     else:
         staged = with_doc_id(files.select(*KEY_COLS, "lang", "content"), KEY_COLS)
@@ -84,8 +85,8 @@ def run_pipeline(
         staged = with_signature(staged, cfg)
         if sketch_partitions:
             staged = staged.repartition(sketch_partitions, "doc_id")
-        _write(staged, checkpoint_root, "signatures")
-        sigs = _read(spark, checkpoint_root, "signatures")
+        _write(staged, checkpoint_root, "signatures", fmt=fmt)
+        sigs = _read(spark, checkpoint_root, "signatures", fmt)
         write_manifest(
             checkpoint_root,
             "signatures",
@@ -102,29 +103,29 @@ def run_pipeline(
 
     # ---- stage 2: bands --------------------------------------------------
     if stage_complete(checkpoint_root, "bands", fp):
-        bands = _read(spark, checkpoint_root, "bands")
+        bands = _read(spark, checkpoint_root, "bands", fmt)
         counters["resumed_stages"].append("bands")
     else:
         bands = band_explode(sigs, cfg)
-        _write(bands, checkpoint_root, "bands")
-        bands = _read(spark, checkpoint_root, "bands")
+        _write(bands, checkpoint_root, "bands", fmt=fmt)
+        bands = _read(spark, checkpoint_root, "bands", fmt)
         write_manifest(checkpoint_root, "bands", fp, {"rows": bands.count()})
     counters["band_rows"] = bands.count()
 
     # ---- stage 3: candidates --------------------------------------------
     if stage_complete(checkpoint_root, "candidates", fp):
-        pairs = _read(spark, checkpoint_root, "candidates")
+        pairs = _read(spark, checkpoint_root, "candidates", fmt)
         counters["resumed_stages"].append("candidates")
         counters["dropped_buckets"] = (
-            _read(spark, checkpoint_root, "dropped_buckets").count()
+            _read(spark, checkpoint_root, "dropped_buckets", fmt).count()
         )
     else:
         pairs, dropped = candidate_pairs(bands, cfg)
-        _write(pairs, checkpoint_root, "candidates")
-        _write(dropped, checkpoint_root, "dropped_buckets")
-        pairs = _read(spark, checkpoint_root, "candidates")
+        _write(pairs, checkpoint_root, "candidates", fmt=fmt)
+        _write(dropped, checkpoint_root, "dropped_buckets", fmt=fmt)
+        pairs = _read(spark, checkpoint_root, "candidates", fmt)
         counters["dropped_buckets"] = (
-            _read(spark, checkpoint_root, "dropped_buckets").count()
+            _read(spark, checkpoint_root, "dropped_buckets", fmt).count()
         )
         write_manifest(
             checkpoint_root,
@@ -136,24 +137,24 @@ def run_pipeline(
 
     # ---- stage 4: verified edges -----------------------------------------
     if stage_complete(checkpoint_root, "edges", fp):
-        edges = _read(spark, checkpoint_root, "edges")
+        edges = _read(spark, checkpoint_root, "edges", fmt)
         counters["resumed_stages"].append("edges")
     else:
         est = estimate_pair_jaccard(pairs, sigs, cfg)
         edges = verify_pairs(est, sigs.select("doc_id", "content"), cfg)
-        _write(edges, checkpoint_root, "edges")
-        edges = _read(spark, checkpoint_root, "edges")
+        _write(edges, checkpoint_root, "edges", fmt=fmt)
+        edges = _read(spark, checkpoint_root, "edges", fmt)
         write_manifest(checkpoint_root, "edges", fp, {"rows": edges.count()})
     counters["duplicate_edges"] = edges.count()
 
     # ---- stage 5: clusters ------------------------------------------------
     if stage_complete(checkpoint_root, "clusters", fp):
-        clusters = _read(spark, checkpoint_root, "clusters")
+        clusters = _read(spark, checkpoint_root, "clusters", fmt)
         counters["resumed_stages"].append("clusters")
     else:
         clustered = assign_clusters(sigs.select("doc_id"), edges)
-        _write(clustered, checkpoint_root, "clusters")
-        clusters = _read(spark, checkpoint_root, "clusters")
+        _write(clustered, checkpoint_root, "clusters", fmt=fmt)
+        clusters = _read(spark, checkpoint_root, "clusters", fmt)
         write_manifest(checkpoint_root, "clusters", fp, {"rows": clusters.count()})
     counters["clustered_files"] = clusters.count()
     counters["duplicate_groups"] = (
