@@ -101,6 +101,74 @@ def superminhash_batch(
     return vals2d, winner.reshape(ndocs, m)
 
 
+def superminhash2_batch(
+    doc_idx: np.ndarray,
+    item_hash: np.ndarray,
+    ndocs: int,
+    m: int,
+    hasher: str = "nohash",
+    lanes_per_chunk: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SuperMinHash2 (``superminhasher2.rs:203-279``, feature ``sminhash2``):
+    integer sketches.  Per item and level ``j``: ``r ~ U[0, usize::MAX)`` and a
+    lazy-FY slot; slot state is the lexicographic min of (level j, r) and the
+    sketch stores the winning item's hash (``hsketch[k] = hval_i``).
+
+    Returns (levels (ndocs,m) i64, r-values (ndocs,m) u64, winner hash u64).
+    Same conservative-upper/live-lane-compaction scheme as SuperMinHash; the
+    per-slot winner hash is the LSH banding key.
+    """
+    doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
+    item_hash = np.ascontiguousarray(item_hash, dtype=U64)
+    J = np.full(ndocs * m, m - 1, dtype=np.int64)  # l init size-1
+    R = np.full(ndocs * m, np.iinfo(np.uint64).max, dtype=U64)  # values usize::MAX
+    winner = np.zeros(ndocs * m, dtype=U64)
+    doc_upper = np.full(ndocs, m - 1, dtype=np.int64)
+    if lanes_per_chunk is None:
+        lanes_per_chunk = max(1024, (1 << 22) // max(m, 1))
+    seeds = hash_u64(item_hash, hasher)
+    n = doc_idx.shape[0]
+    J2 = J.reshape(ndocs, m)
+    for lo in range(0, n, lanes_per_chunk):
+        hi = min(lo + lanes_per_chunk, n)
+        docs = doc_idx[lo:hi]
+        items = item_hash[lo:hi]
+        rng = _xoshiro_from_state(Xoshiro256pp(seeds[lo:hi]).s)
+        nl = docs.shape[0]
+        v = np.tile(np.arange(m, dtype=np.int32), (nl, 1))
+        prow = np.arange(nl)
+        for j in range(m):
+            live = doc_upper[docs] >= j
+            if not live.all():
+                if not live.any():
+                    break
+                docs, items, prow = docs[live], items[live], prow[live]
+                rng.s = rng.s[live]
+            r = rng.next_u64()  # Uniform(0, usize::MAX) ~ full-width draw
+            u = rng.next_f64()
+            idx = (j + (u * (m - j)).astype(np.int64)).clip(0, m - 1)
+            slot = v[prow, idx].copy()
+            v[prow, idx] = v[prow, j]
+            v[prow, j] = slot
+            flat = docs * m + slot.astype(np.int64)
+            improves_level = j < J[flat]
+            better = improves_level | ((j == J[flat]) & (r < R[flat]))
+            bf = flat[better]
+            # a level improvement OVERWRITES the slot's r (superminhasher2.rs
+            # :246-252: l[k]=j; values[k]=r), so stale r from a worse level
+            # must not survive the min-reduce
+            R[flat[improves_level]] = np.iinfo(np.uint64).max
+            J[bf] = j
+            np.minimum.at(R, bf, r[better])
+            won = better.copy()
+            won[better] = R[bf] == r[better]
+            winner[flat[won]] = items[won]
+            touched = np.unique(docs[better])
+            if touched.size:
+                doc_upper[touched] = J2[touched].max(axis=1)
+    return J.reshape(ndocs, m), R.reshape(ndocs, m), winner.reshape(ndocs, m)
+
+
 def superminhash_single(items, m, hasher="fnv1a64"):
     items = np.asarray(items, dtype=U64)
     vals, win = superminhash_batch(

@@ -111,3 +111,29 @@ def test_revoptdens_small_sets_3sigma():
     assert (vals < float(np.uint32(0xFFFFFFFF))).all(), "all bins densified"
     jhat = float(np.mean(win[0] == win[1]))
     assert abs(jhat - j) < 5 * sigma(j, m)
+
+
+def test_superminhash2_range_fixture_3sigma():
+    # superminhasher2.rs:337-373 analogue: J = 0.05 range fixture
+    from probminhash_spark.kernels.superminhash import superminhash2_batch
+
+    m = 1500
+    doc = np.concatenate([np.zeros(VA.size, np.int64), np.ones(VB.size, np.int64)])
+    items = np.concatenate([VA, VB])
+    J, R, win = superminhash2_batch(doc, items, 2, m, hasher="fnv1a64")
+    jhat = float(np.mean(win[0] == win[1]))
+    assert abs(jhat - J_AB) < 3 * sigma(J_AB, m)
+    # winner equality must coincide with (level, r) state equality
+    state_eq = (J[0] == J[1]) & (R[0] == R[1])
+    assert np.array_equal(win[0] == win[1], state_eq)
+
+
+def test_superminhash2_chunking_invariant():
+    from probminhash_spark.kernels.superminhash import superminhash2_batch
+
+    m = 64
+    doc = np.zeros(VA.size, np.int64)
+    a = superminhash2_batch(doc, VA, 1, m, lanes_per_chunk=37)
+    b = superminhash2_batch(doc, VA, 1, m, lanes_per_chunk=100000)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
