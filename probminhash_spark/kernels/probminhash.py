@@ -118,3 +118,49 @@ def probminhash3a_single(items, weights, m, hasher="fnv1a64"):
         np.zeros(items.shape[0], dtype=np.int64), items, weights, 1, m, hasher
     )
     return sig[0], vals[0]
+
+
+def probminhash3a_sha_single(byte_keys, weights, m):
+    """ProbMinHash3aSha (S6, ``probminhash3sha.rs:87-167``): arbitrary-length
+    byte keys seed the per-item rng with SHA-512/256 of the key bytes
+    (``sig.rs:12-15`` + ``probminhash3sha.rs:106-114``) — the stable-across-
+    languages identity regime.  The item identity carried in the signature is
+    the first 8 bytes of the digest (injective w.h.p.); slot equality
+    semantics are unchanged (``jaccard.rs:9-19``).
+
+    Parity-scale helper (hashlib per key); the production path pre-hashes
+    shingles to u64 instead.
+    """
+    import hashlib
+
+    weights = np.asarray(weights, dtype=np.float64)
+    n = len(byte_keys)
+    states = np.empty((n, 4), dtype=U64)
+    idents = np.empty(n, dtype=U64)
+    for i, key in enumerate(byte_keys):
+        digest = hashlib.new("sha512_256", bytes(key)).digest()
+        words = np.frombuffer(digest, dtype="<u8")
+        states[i] = words
+        idents[i] = words[0]
+    lam = np.log(m / (m - 1.0))
+    exp01 = ExpRestricted01(lam)
+    sig = np.zeros((1, m), dtype=U64)
+    vals = np.full(m, np.inf, dtype=np.float64)
+    keep = weights > 0.0
+    a_state, a_winv, a_item = states[keep], 1.0 / weights[keep], idents[keep]
+    doc = np.zeros(a_item.shape[0], dtype=np.int64)
+    i = 1
+    while a_item.size:
+        rng = _xoshiro_from_state(a_state)
+        e = exp01.sample(rng)
+        k = rng.next_below(m).astype(np.int64)
+        h = a_winv * (i - 1) + a_winv * e
+        fk, fv, fi = _argmin_reduce(k, h, a_item, m)
+        better = fv < vals[fk]
+        vals[fk[better]] = fv[better]
+        sig[0, fk[better]] = fi[better]
+        qmax = vals.max()
+        alive = (a_winv * i) < qmax
+        a_state, a_winv, a_item = a_state[alive], a_winv[alive], a_item[alive]
+        i += 1
+    return sig[0], vals

@@ -137,3 +137,24 @@ def test_superminhash2_chunking_invariant():
     b = superminhash2_batch(doc, VA, 1, m, lanes_per_chunk=100000)
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_probminhash3a_sha_byte_keys_jp():
+    """S6 / probminhash3sha.rs:297-367: byte keys (random blobs), weighted
+    J_p within 3 sigma of the exact double-loop oracle."""
+    from probminhash_spark.kernels.probminhash import probminhash3a_sha_single
+
+    m = 1200
+    rng = np.random.default_rng(8)
+    blobs = [rng.bytes(256) for _ in range(100)]
+    wa = {i: 2.0 * i for i in range(1, 70)}
+    wb = {i: float(i) ** 4 for i in range(50, 100)}
+    siga, _ = probminhash3a_sha_single(
+        [blobs[i] for i in sorted(wa)], np.array([wa[i] for i in sorted(wa)]), m
+    )
+    sigb, _ = probminhash3a_sha_single(
+        [blobs[i] for i in sorted(wb)], np.array([wb[i] for i in sorted(wb)]), m
+    )
+    jp = exact_weighted_jaccard(wa, wb)
+    jhat = sketch_jaccard(siga, sigb)
+    assert abs(jhat - jp) < 3 * sigma(jp, m)
