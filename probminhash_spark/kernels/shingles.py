@@ -56,7 +56,12 @@ def char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     n = buf.shape[0]
     ndocs = offsets.shape[0] - 1
     if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=U64)
+        # all-empty batch: each doc still gets its whole-content (empty)
+        # shingle, consistent with the len<k branch below
+        return (
+            np.arange(ndocs, dtype=np.int64),
+            mix64(np.zeros(ndocs, dtype=U64)),
+        )
     pw, pw_inv = _poly_powers(n)
     with np.errstate(**_err):
         contrib = buf.astype(U64) * pw[:n]
