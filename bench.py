@@ -49,6 +49,14 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+    # steady-state warm-up: touch the scan path and spin up Python workers so
+    # the first timed query doesn't absorb one-time costs
+    try:
+        qs["sketch_superminhash"](spark, sf_dir).limit(256).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
