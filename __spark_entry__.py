@@ -394,6 +394,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _scalarize_sig(df: DataFrame, col: str) -> DataFrame:
+    """Encode an array<long> column as driver-hashable scalars.
+
+    The driver's row canonicalizer (pandas sort_values/factorize) cannot hash
+    list cells, so sketch-valued outputs are emitted as (length, '-'-joined
+    string) — lossless, deterministic, and order-preserving."""
+    import pyspark.sql.functions as F
+
+    return df.select(
+        *[c for c in df.columns if c != col],
+        F.size(col).cast("bigint").alias(f"{col}_len"),
+        F.concat_ws("-", F.col(col).cast("array<string>")).alias(f"{col}_str"),
+    )
+
+
 def sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProbMinHash3a weighted signatures over documents (S4/S6)."""
     import pyspark.sql.functions as F
@@ -406,11 +421,12 @@ def sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         algo="probminhash3a", weighted=True, num_hashes=64, bands=16, rows=4
     )
     sketch = make_sketch_udf(cfg)
-    return (
+    out = (
         spark.table("documents")
         .select("doc_id", sketch(F.col("text")).alias("sig"))
         .orderBy("doc_id")
     )
+    return _scalarize_sig(out, "sig")
 
 
 def sketch_superminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,11 +439,12 @@ def sketch_superminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     cfg = DedupConfig(algo="superminhash", num_hashes=64, bands=16, rows=4)
     sketch = make_sketch_udf(cfg)
-    return (
+    out = (
         spark.table("documents")
         .select("doc_id", sketch(F.col("text")).alias("sig"))
         .orderBy("doc_id")
     )
+    return _scalarize_sig(out, "sig")
 
 
 def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,11 +528,12 @@ def sketch_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     fp = make_fingerprint_udf(window=16, k=8)
-    return (
+    out = (
         spark.table("documents")
         .select("doc_id", fp(F.col("text")).alias("fingerprint"))
         .orderBy("doc_id")
     )
+    return _scalarize_sig(out, "fingerprint")
 
 
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,11 +560,12 @@ def sketch_ordminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     om = make_ordminhash_udf(m=16, l=2)
-    return (
+    out = (
         spark.table("documents")
         .select("doc_id", om(F.col("text")).alias("ord_sig"))
         .orderBy("doc_id")
     )
+    return _scalarize_sig(out, "ord_sig")
 
 
 def sketch_group_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,9 +69,28 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
 
 
-def test_rows_only_queries_run(spark):
+def _canon_driver(df: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the DRIVER's canonicalization order exactly: sort columns,
+    then sort_values over raw dtypes (this is where array-valued cells crash
+    with "unhashable type: 'list'" — the r1 failure mode), then stringify.
+    Rows-only queries must survive this even without an oracle."""
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns), ignore_index=True)  # raises on list cells
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df
+
+
+def test_rows_only_queries_survive_driver_canon(spark):
     for name, q in entry_mod.queries().items():
         if name in ORACLED:
             continue
-        df = q(spark, SF_DIR)
-        assert df.count() >= 0, name
+        pdf = q(spark, SF_DIR).toPandas()
+        try:
+            canon = _canon_driver(pdf)
+        except TypeError as e:  # pragma: no cover - regression guard
+            raise AssertionError(
+                f"{name}: driver canonicalization would crash ({e}); "
+                "scalar-encode array columns (see _scalarize_sig)"
+            ) from e
+        assert len(canon) >= 0, name
