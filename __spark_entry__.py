@@ -232,9 +232,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LSH pipeline (sketch -> band -> candidates -> exact verify) on
-    documents.  Oracle = the same brute-force SQL as dedup_ngram_jaccard: at
-    J>=0.9 planted pairs and 32x4 bands, LSH recall is 1 - (1-J^4)^32 ~ 1-1e-15,
-    and exact verification removes false positives, so outputs coincide."""
+    documents.  Oracle = the same brute-force SQL as dedup_ngram_jaccard.
+
+    Oracle-equivalence assumptions (asserted / documented):
+    - no band bucket exceeds bucket_cap (``on_capped="fail"`` raises instead
+      of silently star-capping, which would drop non-anchor pairs the
+      brute-force oracle keeps);
+    - corpus J-gap: the testdata's near-dup pairs sit at J>=0.9 where 32x4
+      banding recall is 1-(1-J^4)^32 ~ 1-1e-15; marginal pairs at J~0.5 have
+      only ~0.87 hit probability and would break exact hash-match, but the
+      corpus has none (verified: brute-force pair J distribution is bimodal).
+    Exact verification removes all false positives, so outputs coincide."""
     from probminhash_spark.config import DedupConfig
     from probminhash_spark.operators.dedup import dedup_edges
 
@@ -250,7 +258,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         est_low_cut=0.3,
     )
-    edges = dedup_edges(docs, cfg, key_cols=None, id_col="doc_id")
+    edges = dedup_edges(docs, cfg, key_cols=None, id_col="doc_id", on_capped="fail")
     return edges.selectExpr("id_l", "id_r", "j_exact").orderBy("id_l", "id_r")
 
 

@@ -64,7 +64,9 @@ def char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
         )
     pw, pw_inv = _poly_powers(n)
     with np.errstate(**_err):
-        contrib = buf.astype(U64) * pw[:n]
+        # byte+1 so NUL bytes contribute (a doc 'a' and 'a\x00\x00' must not
+        # collide on whole-content shingles), matching token_hashes
+        contrib = (buf.astype(U64) + U64(1)) * pw[:n]
         prefix = np.zeros(n + 1, dtype=U64)
         np.cumsum(contrib, out=prefix[1:])  # wraps mod 2^64
     starts_all = np.arange(n - k + 1, dtype=np.int64) if n >= k else np.empty(0, np.int64)

@@ -165,9 +165,20 @@ def dedup_edges(
     key_cols: list[str] | None = None,
     content_col: str = "content",
     id_col: str = "doc_id",
+    on_capped: str = "star",
 ) -> DataFrame:
     """Full candidate pipeline: docs -> verified duplicate edges
-    (id_l, id_r, j_est, j_exact)."""
+    (id_l, id_r, j_est, j_exact).
+
+    ``on_capped``: skew policy for band buckets larger than ``cfg.bucket_cap``:
+    - ``"star"`` (default, the scale path): expand the bucket as a star around
+      its min id — bounded O(size) cost; non-anchor pairs in that bucket are
+      dropped from the *edge* output (they still cluster together through the
+      anchor in connected components).
+    - ``"fail"``: eagerly assert no bucket was capped and raise otherwise.
+      Use this wherever output is compared against an all-pairs oracle —
+      silent star-capping would diverge from brute force on a viral corpus.
+    """
     if key_cols is not None:
         docs = with_doc_id(docs, key_cols, id_col)
     # persist signatures: they feed banding AND both sides of the estimate
@@ -175,7 +186,19 @@ def dedup_edges(
     # pipeline gets this for free by checkpointing the signatures table.)
     sigs = with_signature(docs, cfg, content_col).select(id_col, "sig").persist()
     bands = band_explode(sigs, cfg, id_col)
-    pairs, _dropped = candidate_pairs(bands, cfg, id_col)
+    pairs, capped = candidate_pairs(bands, cfg, id_col)
+    if on_capped == "fail":
+        hit = capped.limit(1).collect()
+        if hit:
+            r = hit[0]
+            raise RuntimeError(
+                f"band bucket (band_id={r['band_id']}, key={r['band_key']}) has "
+                f"{r['bucket_size']} members > bucket_cap={cfg.bucket_cap}; "
+                "star-capped output would silently diverge from an all-pairs "
+                "oracle — raise bucket_cap or use on_capped='star'"
+            )
+    elif on_capped != "star":  # pragma: no cover
+        raise ValueError(f"bad on_capped {on_capped!r}")
     est = estimate_pair_jaccard(pairs, sigs, cfg, id_col)
     return verify_pairs(est, docs.select(id_col, content_col), cfg, id_col, content_col)
 

@@ -106,6 +106,31 @@ def make_hyperplane_udf(dim: int, n_bits: int = 64, seed: int = 0xC0FFEE):
     return hyperplane_sig
 
 
+def _band_key_sql(n_bands: int, band_bits: int) -> str:
+    """Native band-key expression over an ``hsig`` array<long> column.
+
+    Band ``b`` covers global bits [b*band_bits, (b+1)*band_bits).  When a band
+    straddles a 64-bit word boundary, its key is assembled from BOTH adjacent
+    words (low bits of word w ORed with the shifted low bits of word w+1) —
+    otherwise the straddling bits beyond the word are never consulted and the
+    band has fewer effective bits (extra false-positive candidates).  Uses
+    shiftrightunsigned so sign-extension cannot leak the top bit into keys.
+    A straddling band always has a next word: its last bit index < n_bits,
+    so ceil(n_bits/64) covers word w+1.
+    """
+    mask = (1 << band_bits) - 1
+    return (
+        "transform(sequence(0, {nb} - 1), b -> struct(b AS band_id,"
+        " ((shiftrightunsigned(element_at(hsig, int((b * {bb}) div 64) + 1),"
+        "                      (b * {bb}) % 64)"
+        "   | (CASE WHEN (b * {bb}) % 64 + {bb} > 64"
+        "           THEN shiftleft(element_at(hsig, int((b * {bb}) div 64) + 2),"
+        "                          64 - (b * {bb}) % 64)"
+        "           ELSE CAST(0 AS BIGINT) END))"
+        "  & {mask}) AS band_key))"
+    ).format(nb=n_bands, bb=band_bits, mask=mask)
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,
@@ -122,15 +147,10 @@ def cosine_topk_lsh(
     (tested against the brute-force baseline)."""
     n_bands = n_bits // band_bits
     sig_udf = make_hyperplane_udf(dim, n_bits)
-    mask = (1 << band_bits) - 1
 
     def banded(df: DataFrame, name: str) -> DataFrame:
         sig = df.withColumn("hsig", sig_udf(F.col(vec_col)))
-        band_expr = (
-            "transform(sequence(0, {nb} - 1), b -> struct(b AS band_id,"
-            " (shiftright(element_at(hsig, int(b * {bb} / 64) + 1),"
-            " int((b * {bb}) % 64)) & {mask}) AS band_key))"
-        ).format(nb=n_bands, bb=band_bits, mask=mask)
+        band_expr = _band_key_sql(n_bands, band_bits)
         return sig.select(
             F.col(id_col).alias(name), F.explode(F.expr(band_expr)).alias("bk")
         ).select(name, "bk.band_id", "bk.band_key")
@@ -179,13 +199,8 @@ def embedding_neardup_pairs(
     exact verification (the embedding analogue of the minhash dedup path)."""
     n_bands = n_bits // band_bits
     sig_udf = make_hyperplane_udf(dim, n_bits)
-    mask = (1 << band_bits) - 1
     sig = vectors.withColumn("hsig", sig_udf(F.col(vec_col)))
-    band_expr = (
-        "transform(sequence(0, {nb} - 1), b -> struct(b AS band_id,"
-        " (shiftright(element_at(hsig, int(b * {bb} / 64) + 1),"
-        " int((b * {bb}) % 64)) & {mask}) AS band_key))"
-    ).format(nb=n_bands, bb=band_bits, mask=mask)
+    band_expr = _band_key_sql(n_bands, band_bits)
     bands = sig.select(
         F.col(id_col), F.explode(F.expr(band_expr)).alias("bk")
     ).select(id_col, "bk.band_id", "bk.band_key")

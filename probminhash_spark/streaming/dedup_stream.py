@@ -51,8 +51,12 @@ class StreamingDeduper:
     - ``edges/``  — verified duplicate edges discovered so far
 
     Each micro-batch: sketch -> band -> join new bands against *all* state
-    bands -> estimate -> append edges + append state.  Idempotent on replays:
-    doc_id is content-key-derived and edges are de-duplicated by (id_l, id_r).
+    bands -> estimate -> write edges + state, both partitioned by ``batch_id``
+    with dynamic partition overwrite.  Idempotent on replays: a retried
+    micro-batch overwrites exactly its own partition (and prior state rows
+    from the failed attempt are excluded from the hit-rate computation), so
+    re-running batch K is a no-op — no duplicated band rows, no
+    band_hit_rate > 1, no duplicate edges.
     """
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig, state_dir: str):
@@ -71,10 +75,18 @@ class StreamingDeduper:
         cfg = self.cfg
         docs = with_doc_id(batch_df, ["repo", "path", "commit"])
         sigs = with_signature(docs, cfg).select("doc_id", "sig", "content")
-        new_bands = band_explode(sigs, cfg).persist()
+        new_bands = (
+            band_explode(sigs, cfg)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .persist()
+        )
         try:
             if self._has_state or self._state_exists():
-                old_bands = self.spark.read.parquet(self._bands_path())
+                # exclude any rows a FAILED attempt of this same batch wrote:
+                # the replay recomputes them (its own partition is overwritten)
+                old_bands = self.spark.read.parquet(self._bands_path()).where(
+                    F.col("batch_id") != int(batch_id)
+                )
                 all_bands = old_bands.unionByName(new_bands)
             else:
                 all_bands = new_bands
@@ -106,12 +118,35 @@ class StreamingDeduper:
                 )
                 .where(F.col("id_l") < F.col("id_r"))
                 .groupBy("id_l", "id_r")
-                .agg((F.count("*") / cfg.bands).alias("band_hit_rate"))
+                # countDistinct: a doc re-ingested in a later batch leaves
+                # duplicate band rows in state; counting distinct band ids
+                # keeps the hit rate a true fraction in [1/bands, 1]
+                .agg((F.countDistinct("band_id") / cfg.bands).alias("band_hit_rate"))
                 .join(pairs, ["id_l", "id_r"], "left_semi")
                 .where(F.col("band_hit_rate") >= 1.0 / cfg.bands)
             )
-            pairs_est.write.mode("append").parquet(self._edges_path())
-            new_bands.write.mode("append").parquet(self._bands_path())
+            if self._edges_exist():
+                # don't re-emit edges already discovered by an earlier batch
+                # (happens when a doc is re-ingested and counts as "new" again)
+                prior = self.spark.read.parquet(self._edges_path()).where(
+                    F.col("batch_id") != int(batch_id)
+                )
+                pairs_est = pairs_est.join(
+                    prior.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+                )
+            (
+                pairs_est.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(self._edges_path())
+            )
+            (
+                new_bands.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(self._bands_path())
+            )
             self._has_state = True
         finally:
             new_bands.unpersist()
@@ -120,6 +155,12 @@ class StreamingDeduper:
         from pathlib import Path
 
         return Path(self._bands_path()).exists()
+
+    def _edges_exist(self) -> bool:
+        from pathlib import Path
+
+        p = Path(self._edges_path())
+        return p.exists() and any(p.iterdir())
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         """Wire onto a streaming DataFrame of files; returns the query."""

@@ -135,3 +135,29 @@ def test_connected_components_long_chain(spark):
     comp = connected_components(edges, max_iterations=20)
     vals = {r["component"] for r in comp.collect()}
     assert vals == {0}
+
+
+def test_on_capped_fail_raises_on_viral_bucket(spark):
+    """Contract mode: a band bucket over bucket_cap must raise loudly instead
+    of silently star-capping (which diverges from an all-pairs oracle)."""
+    import pandas as pd
+    import pytest
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.dedup import dedup_edges
+
+    # 30 identical docs -> every band bucket has 30 members > cap of 8
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(30),
+                "content": ["the same exact content repeated everywhere"] * 30,
+            }
+        )
+    )
+    cfg = DedupConfig(bucket_cap=8, threshold=0.5, est_low_cut=0.3)
+    with pytest.raises(RuntimeError, match="bucket_cap"):
+        dedup_edges(docs, cfg, id_col="doc_id", on_capped="fail").collect()
+    # default star mode still yields edges (anchor connects the group)
+    edges = dedup_edges(docs, cfg, id_col="doc_id", on_capped="star")
+    assert edges.count() >= 29

@@ -36,7 +36,10 @@ def test_char_shingles_match_scalar():
         got.setdefault(d, []).append(h)
     for di, text in enumerate(docs):
         bs = text.encode()
-        expected = [_mix_scalar(_poly(bs[i : i + k])) for i in range(len(bs) - k + 1)]
+        # offset=1: char grams hash (byte+1) so NUL bytes are distinguishable
+        expected = [
+            _mix_scalar(_poly(bs[i : i + k], offset=1)) for i in range(len(bs) - k + 1)
+        ]
         assert sorted(got[di]) == sorted(expected)
     # identical docs -> identical shingle multisets
     assert sorted(got[0]) == sorted(got[2])
@@ -89,3 +92,12 @@ def test_dedupe_counts():
 def test_unicode_content_roundtrips():
     di, h = char_shingles(["héllo wörld", "héllo wörld"], 4)
     assert sorted(h[di == 0].tolist()) == sorted(h[di == 1].tolist())
+
+
+def test_nul_bytes_distinguishable():
+    # 'a' vs 'a\x00\x00': trailing NULs must change the whole-content shingle
+    di, h = char_shingles(["a", "a\x00\x00", "a\x00", "\x00a"], 8)
+    assert len(set(h.tolist())) == 4
+    # and inside k-grams too
+    di2, h2 = char_shingles(["ab\x00cdefgh", "ab\x00\x00cdefgh"], 8)
+    assert set(h2[di2 == 0].tolist()) != set(h2[di2 == 1].tolist())

@@ -127,3 +127,65 @@ def test_real_decoder_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"xx", 2, 2)
+
+
+def test_band_key_consults_straddling_bits(spark):
+    """Band keys straddling a 64-bit word boundary must consult bits from BOTH
+    words (regression: sign-extending single-word shiftright dropped bits
+    64-65 of band 10 at band_bits=6)."""
+    from probminhash_spark.operators.similarity import _band_key_sql
+
+    n_bits, band_bits = 120, 6
+    n_bands = n_bits // band_bits
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(8):
+        bits = rng.integers(0, 2, n_bits)
+        words = []
+        for w in range(2):
+            chunk = bits[w * 64 : (w + 1) * 64]
+            val = sum(int(b) << j for j, b in enumerate(chunk))
+            words.append(val - (1 << 64) if val >= 1 << 63 else val)
+        rows.append((i, words, bits.tolist()))
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "vec_id long, hsig array<long>"
+    )
+    out = df.select(
+        "vec_id", F.explode(F.expr(_band_key_sql(n_bands, band_bits))).alias("bk")
+    ).select("vec_id", "bk.band_id", "bk.band_key")
+    got = {(r["vec_id"], r["band_id"]): r["band_key"] for r in out.collect()}
+    for vid, _, bits in rows:
+        for b in range(n_bands):
+            expect = sum(
+                int(bits[b * band_bits + j]) << j for j in range(band_bits)
+            )
+            assert got[(vid, b)] == expect, (vid, b)
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """A retried foreachBatch micro-batch must be a no-op: same band rows,
+    same edges, no band_hit_rate inflation."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.corpus import generate_files
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    files = generate_files(n_files=40, n_clusters=4, seed=11)
+    sdf = spark.createDataFrame(files)
+    dedup = StreamingDeduper(spark, DedupConfig(), str(tmp_path / "state"))
+    dedup.process_batch(sdf.limit(20), batch_id=0)
+    dedup.process_batch(sdf, batch_id=1)
+
+    def snapshot():
+        bands = spark.read.parquet(str(tmp_path / "state" / "bands"))
+        edges = spark.read.parquet(str(tmp_path / "state" / "edges"))
+        return (
+            sorted(map(tuple, bands.collect())),
+            sorted(map(tuple, edges.collect())),
+        )
+
+    before = snapshot()
+    dedup.process_batch(sdf, batch_id=1)  # replay of batch 1
+    after = snapshot()
+    assert before == after
+    edges = spark.read.parquet(str(tmp_path / "state" / "edges"))
+    assert edges.where(F.col("band_hit_rate") > 1.0).count() == 0
