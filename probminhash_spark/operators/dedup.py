@@ -111,11 +111,14 @@ def estimate_pair_jaccard(
     """Attach Ĵ = equal-slot fraction of the two signatures — native zip_with,
     stays in codegen (S29, ``jaccard.rs:9-19``)."""
     s = sig_df.select(F.col(id_col), F.col(sig_col))
-    # pairs are tiny relative to the corpus: broadcast them so the signature
-    # table streams map-side with no shuffle or sort (at 10^12 scale swap for
-    # a co-partitioned join on id buckets)
+    # No broadcast hint: `pairs` comes out of a shuffle stage, so AQE has its
+    # true runtime size and converts to a broadcast join exactly when it fits
+    # under spark.sql.adaptive.autoBroadcastJoinThreshold.  When the candidate
+    # set is large (viral corpora at 100x scale) the join stays a shuffled
+    # hash join on the id key (preferSortMergeJoin=false in session.py) —
+    # no driver OOM from force-broadcasting an unbounded pair set.
     out = (
-        F.broadcast(pairs)
+        pairs
         .join(s.withColumnsRenamed({id_col: "id_l", sig_col: "sig_l"}), "id_l")
         .join(s.withColumnsRenamed({id_col: "id_r", sig_col: "sig_r"}), "id_r")
         .withColumn(
@@ -149,8 +152,10 @@ def verify_pairs(
         )
     c = docs.select(F.col(id_col), F.col(content_col))
     exact_j = make_exact_jaccard_udf(cfg)
+    # size-gated by AQE (see estimate_pair_jaccard): broadcast when survivors
+    # are small, shuffled hash join on id otherwise
     return (
-        F.broadcast(surv)
+        surv
         .join(c.withColumnsRenamed({id_col: "id_l", content_col: "content_l"}), "id_l")
         .join(c.withColumnsRenamed({id_col: "id_r", content_col: "content_r"}), "id_r")
         .withColumn("j_exact", exact_j(F.col("content_l"), F.col("content_r")))

@@ -222,8 +222,10 @@ def embedding_neardup_pairs(
         .dropDuplicates()
     )
     v = with_unit_norm(vectors, vec_col).select(F.col(id_col), "e", "nrm")
+    # no broadcast hint: AQE size-gates the pair join at runtime (broadcast
+    # when small, shuffled hash join when the candidate set is large)
     return (
-        F.broadcast(pairs)
+        pairs
         .join(v.withColumnsRenamed({id_col: "id_l", "e": "e_l", "nrm": "n_l"}), "id_l")
         .join(v.withColumnsRenamed({id_col: "id_r", "e": "e_r", "nrm": "n_r"}), "id_r")
         .withColumn("cosine", _norm_dot_cols("e_l", "e_r") / (F.col("n_l") * F.col("n_r")))

@@ -161,3 +161,39 @@ def test_on_capped_fail_raises_on_viral_bucket(spark):
     # default star mode still yields edges (anchor connects the group)
     edges = dedup_edges(docs, cfg, id_col="doc_id", on_capped="star")
     assert edges.count() >= 29
+
+
+def test_pair_join_size_gated_not_forced_broadcast(spark, spark_files):
+    """The pair joins must not FORCE broadcast: with the broadcast thresholds
+    disabled the plan degrades to a shuffled join (no driver OOM at 100x),
+    and the edge output is identical either way."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.dedup import dedup_edges
+
+    cfg = DedupConfig(threshold=0.5, est_low_cut=0.3)
+
+    def run():
+        edges = dedup_edges(spark_files, cfg, key_cols=["repo", "path", "commit"])
+        rows = sorted((r["id_l"], r["id_r"]) for r in edges.collect())
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        return rows, plan
+
+    default_rows, _ = run()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        gated_rows, gated_plan = run()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert gated_rows == default_rows
+    assert "BroadcastHashJoin" not in gated_plan, gated_plan
+    assert ("ShuffledHashJoin" in gated_plan) or ("SortMergeJoin" in gated_plan)
