@@ -455,6 +455,44 @@ def sketch_superminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalarize_sig(out, "sig")
 
 
+def sketch_superminhash2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuperMinHash2 integer signatures over documents (S13,
+    ``superminhasher2.rs:203-279``) — rows-only (sketch-valued)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.functions.sketch_udfs import make_sketch_udf
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(algo="superminhash2", num_hashes=64, bands=16, rows=4)
+    sketch = make_sketch_udf(cfg)
+    out = (
+        spark.table("documents")
+        .select("doc_id", sketch(F.col("text")).alias("sig"))
+        .orderBy("doc_id")
+    )
+    return _scalarize_sig(out, "sig")
+
+
+def sketch_revoptdens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-optimal-densification signatures over documents (S26,
+    ``densminhash.rs:390-474``) — rows-only (sketch-valued)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.functions.sketch_udfs import make_sketch_udf
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(algo="revoptdens", num_hashes=64, bands=16, rows=4)
+    sketch = make_sketch_udf(cfg)
+    out = (
+        spark.table("documents")
+        .select("doc_id", sketch(F.col("text")).alias("sig"))
+        .orderBy("doc_id")
+    )
+    return _scalarize_sig(out, "sig")
+
+
 def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SetSketch distinct-shingle cardinality estimates (S16/S18)."""
     import pyspark.sql.functions as F
@@ -621,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "sketch_signatures": sketch_signatures,
         "sketch_superminhash": sketch_superminhash,
+        "sketch_superminhash2": sketch_superminhash2,
+        "sketch_revoptdens": sketch_revoptdens,
         "sketch_cardinality": sketch_cardinality,
         "sketch_simhash": sketch_simhash,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,

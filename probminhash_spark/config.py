@@ -13,13 +13,27 @@ import json
 from dataclasses import asdict, dataclass, field
 
 
+# signature algorithms reachable from the Spark surface; each maps to a
+# vectorized kernel in kernels/ (dispatch: functions/sketch_udfs._sketch_batch_np)
+_ALGOS = frozenset(
+    {
+        "optdens",  # OptDensMinHash (densminhash.rs) — production default
+        "revoptdens",  # reverse densification — better when m >> set size
+        "probminhash3a",  # weighted two-pass (probminhash3a.rs)
+        "probminhash2",  # weighted single-pass (probminhash2.rs)
+        "superminhash",  # float (level, r) sketch (superminhasher.rs)
+        "superminhash2",  # integer (level, r) sketch (superminhasher2.rs)
+    }
+)
+
+
 @dataclass(frozen=True)
 class DedupConfig:
     # shingling
     shingle_mode: str = "char"  # 'char' | 'token'
     shingle_size: int = 8  # k for char grams / w for token shingles
     # signature
-    algo: str = "optdens"  # 'optdens' | 'probminhash3a' | 'superminhash'
+    algo: str = "optdens"  # see _ALGOS below
     num_hashes: int = 128  # m (sketch length); must equal bands * rows
     hasher: str = "nohash"  # element hasher over shingle u64s
     weighted: bool = False  # multiplicity-weighted (ProbMinHash) vs set
@@ -44,8 +58,8 @@ class DedupConfig:
             )
         if self.shingle_mode not in ("char", "token"):
             raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
-        if self.algo not in ("optdens", "probminhash3a", "probminhash2", "superminhash"):
-            raise ValueError(f"bad algo {self.algo!r}")
+        if self.algo not in _ALGOS:
+            raise ValueError(f"bad algo {self.algo!r}; one of {sorted(_ALGOS)}")
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

@@ -60,6 +60,16 @@ def _sketch_batch_np(texts, cfg: DedupConfig) -> np.ndarray:
     elif cfg.algo == "superminhash":
         d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
         _, sig = superminhash_batch(d, h, ndocs, cfg.num_hashes, cfg.hasher)
+    elif cfg.algo == "superminhash2":
+        from ..kernels.superminhash import superminhash2_batch
+
+        d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
+        _, _, sig = superminhash2_batch(d, h, ndocs, cfg.num_hashes, cfg.hasher)
+    elif cfg.algo == "revoptdens":
+        from ..kernels.densminhash import revoptdens_minhash_batch
+
+        d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
+        _, sig = revoptdens_minhash_batch(d, h, ndocs, cfg.num_hashes, cfg.hasher)
     else:  # pragma: no cover
         raise ValueError(cfg.algo)
     return sig

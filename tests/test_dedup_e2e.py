@@ -197,3 +197,24 @@ def test_pair_join_size_gated_not_forced_broadcast(spark, spark_files):
     assert gated_rows == default_rows
     assert "BroadcastHashJoin" not in gated_plan, gated_plan
     assert ("ShuffledHashJoin" in gated_plan) or ("SortMergeJoin" in gated_plan)
+
+
+@pytest.mark.parametrize(
+    "algo", ["superminhash2", "revoptdens", "probminhash2", "superminhash", "probminhash3a"]
+)
+def test_recall_per_algo(spark, tiny_corpus, spark_files, algo):
+    """Every cfg.algo reachable from the Spark surface must hit the recall
+    target end-to-end (S7/S10/S13/S23/S26 wired through the same pipeline)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, algo=algo)
+    edges = dedup_edges(spark_files, cfg).collect()
+    found = {(min(e["id_l"], e["id_r"]), max(e["id_l"], e["id_r"])) for e in edges}
+    pos = _pos_map(tiny_corpus, spark_files)
+    truth = {
+        (min(pos[a], pos[b]), max(pos[a], pos[b]))
+        for a, b in zip(tiny_corpus.truth_pairs.id_l, tiny_corpus.truth_pairs.id_r)
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.99, f"{algo}: recall {recall:.3f}"
+    assert found <= truth, f"{algo}: false positives {sorted(found - truth)[:5]}"
