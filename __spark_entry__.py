@@ -455,6 +455,29 @@ def sketch_superminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalarize_sig(out, "sig")
 
 
+def sketch_signatures_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProbMinHash3aSha signatures (S6, ``probminhash3sha.rs:87-167``):
+    sha512_256-digested item identity, the reference's stable-across-languages
+    string-key regime — rows-only (sketch-valued)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.functions.sketch_udfs import make_sketch_udf
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(
+        algo="probminhash3a", weighted=True, hasher="sha",
+        num_hashes=64, bands=16, rows=4,
+    )
+    sketch = make_sketch_udf(cfg)
+    out = (
+        spark.table("documents")
+        .select("doc_id", sketch(F.col("text")).alias("sig"))
+        .orderBy("doc_id")
+    )
+    return _scalarize_sig(out, "sig")
+
+
 def sketch_superminhash2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SuperMinHash2 integer signatures over documents (S13,
     ``superminhasher2.rs:203-279``) — rows-only (sketch-valued)."""
@@ -658,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "sketch_signatures": sketch_signatures,
+        "sketch_signatures_sha": sketch_signatures_sha,
         "sketch_superminhash": sketch_superminhash,
         "sketch_superminhash2": sketch_superminhash2,
         "sketch_revoptdens": sketch_revoptdens,

@@ -105,7 +105,47 @@ def hash_u64(values: np.ndarray, hasher: str) -> np.ndarray:
         return mix64(values)
     if hasher == "wang64":
         return wang64(values)
+    if hasher == "sha":
+        return sha512_256_states(values)[1]
     raise ValueError(f"unknown hasher {hasher!r}")
+
+
+# sha512_256 digests of the corpus shingle vocabulary, memoized per worker
+# process: shingle keys repeat massively across documents and batches, so the
+# per-unique-key hashlib call amortizes toward zero on a warm worker.
+_SHA_CACHE: dict[int, np.ndarray] = {}
+_SHA_CACHE_MAX = 1 << 20  # ~160 MB worst case; vocabulary-sized in practice
+
+
+def sha512_256_states(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ProbMinHash3aSha identity regime (S6, ``probminhash3sha.rs:87-167``):
+    each u64 key's 8 little-endian bytes are digested with SHA-512/256; the
+    32-byte digest is the item's Xoshiro256++ seed state and its first word
+    the identity carried in signatures (``sig.rs:12-15``).
+
+    Returns (states (n,4) u64, ident (n,) u64).  Digests are computed once
+    per UNIQUE key in the batch (np.unique) and memoized across batches —
+    the only Python-level loop in the sketch path, bounded by new-vocabulary
+    size, not row count.
+    """
+    import hashlib
+
+    keys = np.asarray(keys, dtype=U64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    ustates = np.empty((uniq.size, 4), dtype=U64)
+    key_bytes = uniq.astype("<u8").tobytes()
+    cache = _SHA_CACHE
+    cache_get = cache.get
+    for i, k in enumerate(uniq.tolist()):
+        c = cache_get(k)
+        if c is None:
+            digest = hashlib.new("sha512_256", key_bytes[i * 8 : (i + 1) * 8]).digest()
+            c = np.frombuffer(digest, dtype="<u8")
+            if len(cache) < _SHA_CACHE_MAX:
+                cache[k] = c
+        ustates[i] = c
+    states = ustates[inv]
+    return states, np.ascontiguousarray(states[:, 0])
 
 
 def _rotl32(x: np.ndarray, k: int) -> np.ndarray:

@@ -83,10 +83,20 @@ def probminhash3a_batch(
     sig = np.zeros((ndocs, m), dtype=U64)
     vals = np.full(ndocs * m, np.inf, dtype=np.float64)
 
-    seeds = hash_u64(item_hash, hasher)
-    state = Xoshiro256pp(seeds).s  # (n,4)
+    if hasher == "sha":
+        # ProbMinHash3aSha (S6): digest words ARE the rng state, and the
+        # first digest word is the item identity carried in the signature
+        # (probminhash3sha.rs:106-114) — batched via sha512_256_states
+        from .hashes import sha512_256_states
+
+        state, ident = sha512_256_states(item_hash)
+        item_ident = ident
+    else:
+        seeds = hash_u64(item_hash, hasher)
+        state = Xoshiro256pp(seeds).s  # (n,4)
+        item_ident = item_hash
     winv = 1.0 / weights
-    a_doc, a_item, a_winv, a_state = doc_idx, item_hash, winv, state
+    a_doc, a_item, a_winv, a_state = doc_idx, item_ident, winv, state
 
     i = 1
     while a_doc.size and i <= max_rounds:

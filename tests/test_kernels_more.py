@@ -158,3 +158,57 @@ def test_probminhash3a_sha_byte_keys_jp():
     jp = exact_weighted_jaccard(wa, wb)
     jhat = sketch_jaccard(siga, sigb)
     assert abs(jhat - jp) < 3 * sigma(jp, m)
+
+
+def test_probminhash3a_sha_batch_equals_single():
+    """hasher='sha' batch path (S6) must reproduce the single-set sha kernel
+    exactly: same digest-seeded rng states, same first-digest-word identity."""
+    import numpy as np
+
+    from probminhash_spark.kernels.probminhash import (
+        probminhash3a_batch,
+        probminhash3a_sha_single,
+    )
+
+    rng = np.random.default_rng(77)
+    m = 16
+    sigs_single, sigs_batch = [], None
+    docs, keys, weights = [], [], []
+    for d in range(5):
+        n = int(rng.integers(3, 40))
+        k = rng.integers(0, 1 << 63, n, dtype=np.int64).astype(np.uint64)
+        w = rng.uniform(0.2, 5.0, n)
+        byte_keys = [int(x).to_bytes(8, "little") for x in k]
+        s, _ = probminhash3a_sha_single(byte_keys, w, m)
+        sigs_single.append(s)
+        docs.append(np.full(n, d, dtype=np.int64))
+        keys.append(k)
+        weights.append(w)
+    sig_b, _ = probminhash3a_batch(
+        np.concatenate(docs),
+        np.concatenate(keys),
+        np.concatenate(weights),
+        5,
+        m,
+        hasher="sha",
+    )
+    for d in range(5):
+        assert sig_b[d].tolist() == sigs_single[d].tolist(), d
+
+
+def test_sha_states_dedup_and_cache():
+    import numpy as np
+
+    from probminhash_spark.kernels.hashes import sha512_256_states
+
+    keys = np.array([7, 7, 9, 7], dtype=np.uint64)
+    states, ident = sha512_256_states(keys)
+    assert states.shape == (4, 4)
+    assert ident[0] == ident[1] == ident[3] != ident[2]
+    import hashlib
+
+    d = hashlib.new("sha512_256", (7).to_bytes(8, "little")).digest()
+    assert states[0].tolist() == np.frombuffer(d, dtype="<u8").tolist()
+    # second call hits the cache, same result
+    states2, _ = sha512_256_states(keys)
+    assert states2.tolist() == states.tolist()
