@@ -654,6 +654,32 @@ def sketch_group_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def sketch_group_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard between per-source union SetSketches with all three
+    estimators: register equality, golden-section joint MLE (S21), and the
+    b->1 closed form (S22) — rows-only (sketch-derived)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.sketch_ops import (
+        group_distinct_shingles,
+        group_jaccard,
+    )
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(setsketch_m=256)
+    docs = spark.table("documents").selectExpr("source", "text AS content")
+    groups = group_distinct_shingles(docs, ["source"], cfg)
+    out = group_jaccard(groups, cfg, "source")
+    return out.select(
+        "key_l",
+        "key_r",
+        F.round("j_est", 6).alias("j_est"),
+        F.round("j_mle", 6).alias("j_mle"),
+        F.round("j_mle_b1", 6).alias("j_mle_b1"),
+    ).orderBy("key_l", "key_r")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -693,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": lang_id_heuristic,
         "sketch_ordminhash": sketch_ordminhash,
         "sketch_group_cardinality": sketch_group_cardinality,
+        "sketch_group_jaccard": sketch_group_jaccard,
     }
 
 

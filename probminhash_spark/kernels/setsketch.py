@@ -162,22 +162,101 @@ def setsketch_jaccard_mle_b1(
     preferred in Spark over the golden-section search of
     ``setsketcher.rs:571-672`` (S21 -> S22 substitution, SURVEY.md §7)."""
     p = params or SetSketchParams()
-    a = np.asarray(regs_a, dtype=np.float64)
-    b = np.asarray(regs_b, dtype=np.float64)
+    a = np.atleast_2d(np.asarray(regs_a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(regs_b, dtype=np.float64))
     card1, _ = setsketch_cardinality(a, p)
     card2, _ = setsketch_cardinality(b, p)
     u = card1 / (card1 + card2)
     v = card2 / (card1 + card2)
-    dplus = float(np.sum(a > b))
-    dless = float(np.sum(a < b))
-    dequal = float(np.sum(a == b))
+    dplus = (a > b).sum(axis=1).astype(np.float64)
+    dless = (a < b).sum(axis=1).astype(np.float64)
+    dequal = (a == b).sum(axis=1).astype(np.float64)
     aux = (u * u * (dless + dequal) - v * v * (dplus + dequal)) ** 2
     j = (
         u * u * (dless + dequal)
         + v * v * (dplus + dequal)
         - np.sqrt(aux + 4.0 * dless * dplus * (u * v) * (u * v))
     )
-    return float(j / (2.0 * u * v * p.m))
+    j = j / (2.0 * u * v * p.m)
+    return j if np.asarray(regs_a).ndim > 1 else float(j[0])
+
+
+def _pb(x: np.ndarray, b: float, lnb: float) -> np.ndarray:
+    """Slot-disagreement probability term (``setsketcher.rs:490-501``):
+    pb(x) = -ln1p(-x(b-1)/b)/ln(b) for x<=0, -ln(1-x(b-1)/b)/ln(b) for x>0."""
+    x = np.asarray(x, dtype=np.float64)
+    arg = x * (b - 1.0) / b
+    out = np.empty_like(x)
+    le0 = x <= 0.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out[le0] = -np.log1p(-arg[le0]) / lnb
+        out[~le0] = -np.log(1.0 - arg[~le0]) / lnb
+    return out
+
+
+def setsketch_jaccard_mle(
+    regs_a: np.ndarray,
+    regs_b: np.ndarray,
+    params: SetSketchParams | None = None,
+    max_iters: int = 100,
+    tol: float = 1e-12,
+) -> np.ndarray:
+    """Joint maximum-likelihood Jaccard (S21, ``setsketcher.rs:571-672``,
+    cost ``:506-520``; Ertl arXiv:2101.00314 §3.2): golden-section
+    minimization of the negative log-likelihood of the register comparison
+    counts (D+, D-, D=) given the two cardinality estimates.
+
+    Accepts (m,) or (npairs, m) register arrays and is vectorized over
+    pairs — every golden-section iteration shrinks ALL pairs' brackets at
+    once (no per-pair Python).  Search interval [0, min(c1/c2, c2/c1)] and
+    iteration budget mirror the reference.  Preferred over the closed-form
+    ``setsketch_jaccard_mle_b1`` only for precise low-J estimates; both are
+    exposed through ``operators.sketch_ops.group_jaccard``.
+    """
+    p = params or SetSketchParams()
+    a = np.atleast_2d(np.asarray(regs_a, dtype=np.float64))
+    b2 = np.atleast_2d(np.asarray(regs_b, dtype=np.float64))
+    card1, _ = setsketch_cardinality(a, p)
+    card2, _ = setsketch_cardinality(b2, p)
+    u = card1 / (card1 + card2)
+    v = card2 / (card1 + card2)
+    dplus = (a > b2).sum(axis=1).astype(np.float64)
+    dless = (a < b2).sum(axis=1).astype(np.float64)
+    dequal = (a == b2).sum(axis=1).astype(np.float64)
+    bpar, lnb = p.b, p.lnb
+
+    def cost(j: np.ndarray) -> np.ndarray:
+        pbplus = _pb(u - v * j, bpar, lnb)
+        pbless = _pb(v - u * j, bpar, lnb)
+        peq = 1.0 - pbplus - pbless
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ll = (
+                np.where(dplus > 0, dplus * np.log(pbplus), 0.0)
+                + np.where(dless > 0, dless * np.log(pbless), 0.0)
+                + np.where(dequal > 0, dequal * np.log(peq), 0.0)
+            )
+        return np.where(np.isnan(ll), np.inf, -ll)
+
+    lo = np.zeros(a.shape[0])
+    ratio = card1 / card2
+    hi = np.minimum(ratio, 1.0 / ratio)
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    x1 = hi - gr * (hi - lo)
+    x2 = lo + gr * (hi - lo)
+    f1, f2 = cost(x1), cost(x2)
+    for _ in range(max_iters):
+        if np.all(hi - lo < tol):
+            break
+        left = f1 < f2
+        hi = np.where(left, x2, hi)
+        lo = np.where(left, lo, x1)
+        x1n = hi - gr * (hi - lo)
+        x2n = lo + gr * (hi - lo)
+        # reuse the surviving interior evaluation, compute only the new point
+        x1, x2 = x1n, x2n
+        f1, f2 = cost(x1), cost(x2)
+    out = (lo + hi) / 2.0
+    return out if np.asarray(regs_a).ndim > 1 else float(out[0])
 
 
 def setsketch_union_intersection(

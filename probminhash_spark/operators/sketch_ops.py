@@ -66,9 +66,20 @@ def group_jaccard(
     cfg: DedupConfig,
     key_col: str,
 ) -> DataFrame:
-    """Pairwise register-equality Jaccard between group union sketches
-    (e.g. how similar two repos' shingle vocabularies are)."""
-    m = cfg.setsketch_m
+    """Pairwise Jaccard between group union sketches (e.g. how similar two
+    repos' shingle vocabularies are) — three estimators per pair, one
+    vectorized UDF pass:
+
+    - ``j_est``    register-equality fraction (``jaccard.rs:27-41``)
+    - ``j_mle``    joint MLE via golden-section (S21, ``setsketcher.rs:571-672``)
+    - ``j_mle_b1`` closed-form b->1 MLE (S22, ``setsketcher.rs:674-713``)
+
+    The MLE columns matter at low J (< ~0.1) where the equality estimator
+    loses precision (reference test ``setsketcher.rs:967-1019``).
+    """
+    from ..kernels.setsketch import setsketch_jaccard_mle, setsketch_jaccard_mle_b1
+
+    params = SetSketchParams(m=cfg.setsketch_m)
     a = group_sketches.select(
         F.col(key_col).alias("key_l"), F.col("union_regs").alias("regs_l")
     )
@@ -78,16 +89,22 @@ def group_jaccard(
     pairs = a.join(b, F.col("key_l") < F.col("key_r"))
 
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
 
-    @pandas_udf(DoubleType())
-    def reg_equality(l: pd.Series, r: pd.Series) -> pd.Series:
+    @pandas_udf("j_est double, j_mle double, j_mle_b1 double")
+    def estimators(l: pd.Series, r: pd.Series) -> pd.DataFrame:
         if len(l) == 0:
-            return pd.Series([], dtype=np.float64)
+            return pd.DataFrame({"j_est": [], "j_mle": [], "j_mle_b1": []})
         la = np.stack([np.frombuffer(x, dtype="<u2") for x in l])
         ra = np.stack([np.frombuffer(x, dtype="<u2") for x in r])
-        return pd.Series((la == ra).mean(axis=1))
+        return pd.DataFrame(
+            {
+                "j_est": (la == ra).mean(axis=1),
+                "j_mle": setsketch_jaccard_mle(la, ra, params),
+                "j_mle_b1": setsketch_jaccard_mle_b1(la, ra, params),
+            }
+        )
 
-    return pairs.withColumn("j_est", reg_equality("regs_l", "regs_r")).select(
-        "key_l", "key_r", "j_est"
+    return (
+        pairs.withColumn("j", estimators("regs_l", "regs_r"))
+        .select("key_l", "key_r", "j.j_est", "j.j_mle", "j.j_mle_b1")
     )

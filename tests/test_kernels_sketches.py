@@ -188,3 +188,52 @@ def test_probminhash3a_tiny_m(m):
         np.array([5, 9], dtype=U64), np.array([1.0, 3.0]), m
     )
     assert np.isfinite(vals).all()
+
+
+def test_setsketch_mle_golden_section_low_j():
+    """S21 (setsketcher.rs:571-672) mirrored on the reference's own low-J
+    regime (test_mle_1, setsketcher.rs:967-1019): va=0..1000, vb=995..2000,
+    m=6000, J_exact = 5/2000 = 0.0025."""
+    from probminhash_spark.kernels.setsketch import (
+        setsketch_jaccard,
+        setsketch_jaccard_mle,
+    )
+
+    p = SetSketchParams(m=6000)
+    va = np.arange(0, 1000, dtype=np.int64).astype(U64)
+    vb = np.arange(995, 2000, dtype=np.int64).astype(U64)
+    jexact = 5 / 2000
+    ra = setsketch_batch(np.zeros(va.size, np.int64), va, 1, p, hasher="fnv1a64")
+    rb = setsketch_batch(np.zeros(vb.size, np.int64), vb, 1, p, hasher="fnv1a64")
+    jac = setsketch_jaccard(ra[0], rb[0])
+    s = sigma(jexact, p.m)
+    assert 0.0 <= jac < jexact + 3 * s  # the reference's own acceptance
+    jmle = setsketch_jaccard_mle(ra[0], rb[0], p)
+    assert abs(jmle - jexact) < 5 * s, (jmle, jexact, s)
+    # at b=1.001 the golden-section MLE and the closed-form b->1 MLE agree
+    jb1 = setsketch_jaccard_mle_b1(ra[0], rb[0], p)
+    assert abs(jmle - jb1) < 3e-3, (jmle, jb1)
+
+
+def test_setsketch_mle_batch_matches_scalar():
+    from probminhash_spark.kernels.setsketch import (
+        setsketch_jaccard_mle,
+        setsketch_jaccard_mle_b1,
+    )
+
+    p = SetSketchParams(m=512)
+    rng = np.random.default_rng(4)
+    pairs_a, pairs_b = [], []
+    for lo in (0, 2000, 5000):
+        va = rng.integers(0, 1 << 62, 3000, dtype=np.int64).astype(U64)
+        vb = np.concatenate([va[lo // 2 :], rng.integers(0, 1 << 62, lo, dtype=np.int64).astype(U64)])
+        ra = setsketch_batch(np.zeros(va.size, np.int64), va, 1, p)
+        rb = setsketch_batch(np.zeros(vb.size, np.int64), vb, 1, p)
+        pairs_a.append(ra[0])
+        pairs_b.append(rb[0])
+    A, B = np.stack(pairs_a), np.stack(pairs_b)
+    batch = setsketch_jaccard_mle(A, B, p)
+    batch_b1 = setsketch_jaccard_mle_b1(A, B, p)
+    for i in range(3):
+        assert abs(batch[i] - setsketch_jaccard_mle(A[i], B[i], p)) < 1e-12
+        assert abs(batch_b1[i] - setsketch_jaccard_mle_b1(A[i], B[i], p)) < 1e-12

@@ -29,3 +29,8 @@ def test_group_distinct_shingles_and_jaccard(spark, tiny_corpus):
     assert len(vals) == 10  # C(5,2)
     for r in vals:
         assert 0.0 <= r["j_est"] <= 1.0
+        # S21/S22 estimators ride along; cross-lang vocabularies are near-
+        # disjoint so all three estimators must agree J is small
+        assert 0.0 <= r["j_mle"] <= 1.0
+        assert r["j_mle_b1"] <= r["j_est"] + 0.1
+        assert abs(r["j_mle"] - r["j_mle_b1"]) < 0.05
