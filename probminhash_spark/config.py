@@ -37,6 +37,12 @@ class DedupConfig:
     num_hashes: int = 128  # m (sketch length); must equal bands * rows
     hasher: str = "nohash"  # element hasher over shingle u64s
     weighted: bool = False  # multiplicity-weighted (ProbMinHash) vs set
+    # signature slot width (S25, densminhash.rs:98-166): 64 = raw u64 slots;
+    # 32/16/8 fold each slot via murmur3_32 >> (32-bits), shrinking signature
+    # storage 2-8x (the sig column becomes array<int|smallint|tinyint>) at the
+    # cost of a 2^-bits per-slot collision rate — harmless to recall, and
+    # false j_est inflation is removed by exact verification
+    sig_bits: int = 64
     # LSH banding
     bands: int = 32
     rows: int = 4
@@ -60,6 +66,8 @@ class DedupConfig:
             raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
         if self.algo not in _ALGOS:
             raise ValueError(f"bad algo {self.algo!r}; one of {sorted(_ALGOS)}")
+        if self.sig_bits not in (8, 16, 32, 64):
+            raise ValueError(f"bad sig_bits {self.sig_bits}; one of 8/16/32/64")
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

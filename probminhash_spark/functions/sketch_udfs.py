@@ -75,16 +75,40 @@ def _sketch_batch_np(texts, cfg: DedupConfig) -> np.ndarray:
     return sig
 
 
-def make_sketch_udf(cfg: DedupConfig):
-    """content -> array<long> signature of length cfg.num_hashes."""
+# sig_bits -> (Spark element type, signed view dtype); folding is S25
+# (densminhash.rs:98-166): murmur3_32(slot) >> (32-bits), stored bit-cast in
+# the narrowest signed type Spark offers so on-disk/in-shuffle signature size
+# shrinks proportionally
+_SIG_TYPES = {
+    64: (LongType(), np.int64),
+    32: (None, np.int32),  # IntegerType imported lazily below
+    16: (None, np.int16),
+    8: (None, np.int8),
+}
 
-    @pandas_udf(ArrayType(LongType()))
+
+def _sig_spark_type(bits: int):
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+    return {64: LongType(), 32: IntegerType(), 16: ShortType(), 8: ByteType()}[bits]
+
+
+def make_sketch_udf(cfg: DedupConfig):
+    """content -> array<long|int|smallint|tinyint> signature of length
+    cfg.num_hashes (element width per cfg.sig_bits)."""
+    view_dtype = _SIG_TYPES[cfg.sig_bits][1]
+
+    @pandas_udf(ArrayType(_sig_spark_type(cfg.sig_bits)))
     def sketch(content: pd.Series) -> pd.Series:
         texts = content.fillna("").tolist()
         if not texts:
             return pd.Series([], dtype=object)
-        sig = _sketch_batch_np(texts, cfg).view(np.int64)
-        return pd.Series(list(sig))
+        sig = _sketch_batch_np(texts, cfg)
+        if cfg.sig_bits < 64:
+            from ..kernels.hashes import fold_signature
+
+            sig = fold_signature(sig, cfg.sig_bits)
+        return pd.Series(list(sig.view(view_dtype)))
 
     return sketch
 

@@ -218,3 +218,27 @@ def test_recall_per_algo(spark, tiny_corpus, spark_files, algo):
     recall = len(found & truth) / len(truth)
     assert recall >= 0.99, f"{algo}: recall {recall:.3f}"
     assert found <= truth, f"{algo}: false positives {sorted(found - truth)[:5]}"
+
+
+@pytest.mark.parametrize("bits,eltype", [(32, "int"), (16, "smallint"), (8, "tinyint")])
+def test_recall_with_folded_signatures(spark, tiny_corpus, spark_files, bits, eltype):
+    """S25 signature folding: narrower slots shrink signature storage 2-8x
+    and must keep end-to-end recall (collisions only inflate j_est; exact
+    verification removes any false edge)."""
+    import dataclasses
+
+    from probminhash_spark.operators.dedup import with_signature
+
+    cfg = dataclasses.replace(CFG, sig_bits=bits)
+    sig_df = with_signature(spark_files, cfg)
+    assert dict(sig_df.dtypes)["sig"] == f"array<{eltype}>"
+    edges = dedup_edges(spark_files, cfg).collect()
+    found = {(min(e["id_l"], e["id_r"]), max(e["id_l"], e["id_r"])) for e in edges}
+    pos = _pos_map(tiny_corpus, spark_files)
+    truth = {
+        (min(pos[a], pos[b]), max(pos[a], pos[b]))
+        for a, b in zip(tiny_corpus.truth_pairs.id_l, tiny_corpus.truth_pairs.id_r)
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.99, f"sig_bits={bits}: recall {recall:.3f}"
+    assert found <= truth, f"sig_bits={bits}: false positives"
