@@ -680,6 +680,44 @@ def sketch_group_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_l", "key_r")
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over the documents table: text payloads become
+    opaque binary columns with typed metadata, features extracted via
+    iterator mapInPandas (vectorized fake decode — real codecs are the
+    documented stub seam).  Rows-only (byte-level features are not
+    SQL-expressible in DuckDB)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.operators.multimodal import extract_features
+
+    _load(spark, sf_dir, "documents")
+    media = spark.table("documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    out = extract_features(media, n_features=8)
+    out = out.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.concat_ws(
+            "-", F.expr("transform(features, x -> cast(round(x, 3) as string))")
+        ).alias("features_str"),
+    ).orderBy("doc_id")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -720,7 +758,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ordminhash": sketch_ordminhash,
         "sketch_group_cardinality": sketch_group_cardinality,
         "sketch_group_jaccard": sketch_group_jaccard,
+        "multimodal_features": multimodal_features,
     }
+
+
+def _lang_id_duck_sql() -> str:
+    """DuckDB replay of make_lang_id_udf: same tokenization ([0-9a-z_]+ with
+    non-ascii chars kept inside tokens — every byte of a multi-byte UTF-8
+    char is >= 0x80, so char-class >= U+0080 mirrors the byte classifier),
+    same per-language occurrence-ratio, same first-max tie order (en, es,
+    fr, de), same 0.05 threshold."""
+    from probminhash_spark.functions.sketch_udfs import _STOPWORDS
+
+    hit_cols = []
+    for lang, words in _STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"CAST(LEN(LIST_FILTER(ts, t -> LIST_CONTAINS([{lst}], t))) AS DOUBLE)"
+            f" / GREATEST(LEN(ts), 1) AS r_{lang}"
+        )
+    hits = ",\n         ".join(hit_cols)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(LOWER(text),
+                     '[0-9a-z_\\x{{0080}}-\\x{{10ffff}}]+') AS ts
+          FROM documents
+        ),
+        ratios AS (
+          SELECT doc_id,
+         {hits}
+          FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(r_en, r_es, r_fr, r_de) < 0.05 THEN 'und'
+                    WHEN r_en >= r_es AND r_en >= r_fr AND r_en >= r_de THEN 'en'
+                    WHEN r_es >= r_fr AND r_es >= r_de THEN 'es'
+                    WHEN r_fr >= r_de THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+        FROM ratios
+        ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -855,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang, source
         """,
         "ann_cosine_topk": _COSINE_DUCK,
+        "lang_id_heuristic": _lang_id_duck_sql(),
         # ann_cosine_topk_lsh: intentionally no oracle — approximate top-k of
         # arbitrary-distance neighbors has no recall guarantee, so the driver
         # records the rows-only check; accuracy vs brute force is asserted in
