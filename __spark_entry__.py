@@ -210,7 +210,15 @@ ORDER BY id_l, id_r
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact char-8-gram Jaccard pairs (J >= 0.5) with lossless
     shared-gram blocking — the exact-verification semantics of the pipeline,
-    expressed natively so DuckDB can replay it."""
+    expressed natively so DuckDB can replay it.
+
+    Scale note: all-pairs-above-J semantics are inherently quadratic in hot
+    grams (a viral 8-gram with df=d emits d^2/2 join rows), so this query is
+    the *oracle-scale* formulation; per-gram skew is handled at runtime by
+    AQE skew-join (enabled in session.py) which splits oversized join
+    partitions, but output volume itself is the bound.  The 100 TB path is
+    dedup_minhash_lsh, whose banding + bucket-cap policy bounds candidate
+    volume explicitly."""
     _load(spark, sf_dir, "documents")
     return spark.sql(_NGRAM_SPARK)
 
@@ -273,6 +281,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").selectExpr("doc_id")
     out = assign_clusters(docs, edges)
     return out.selectExpr("doc_id", "cluster_id").orderBy("doc_id")
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (suffix-array-substring semantics, Spark-first):
+    all pairs sharing a substring of length >= 20, via winnowing-fingerprint
+    anchors (recall 1 by the w + k - 1 guarantee) + native char-20-gram
+    intersection verify.  Oracle = brute-force shared-20-gram join in DuckDB;
+    on_capped='fail' asserts no fingerprint bucket was star-capped."""
+    from probminhash_spark.operators.substring import substring_dup_pairs
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").selectExpr("doc_id", "text AS content")
+    out = substring_dup_pairs(docs, min_len=20, k=8, on_capped="fail")
+    return out.orderBy("id_l", "id_r")
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_substring": dedup_substring,
         "dedup_clusters": dedup_clusters,
         "text_token_stats": text_token_stats,
         "text_quality_summary": text_quality_summary,
@@ -880,6 +903,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _NGRAM_DUCK,
         "dedup_minhash_lsh": _NGRAM_DUCK,
+        "dedup_substring": """
+            WITH grams AS (
+              SELECT doc_id,
+                     UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                         RANGE(1, LEN(text) - 18),
+                         i -> SUBSTR(text, i::INT, 20)))) AS g
+              FROM documents WHERE LEN(text) >= 20
+            )
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   COUNT(*) AS n_common_grams
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "dedup_clusters": """
             WITH RECURSIVE
             grams AS (

@@ -242,3 +242,50 @@ def test_recall_with_folded_signatures(spark, tiny_corpus, spark_files, bits, el
     recall = len(found & truth) / len(truth)
     assert recall >= 0.99, f"sig_bits={bits}: recall {recall:.3f}"
     assert found <= truth, f"sig_bits={bits}: false positives"
+
+
+def test_substring_dup_pairs_planted(spark):
+    """Substring dedup: winnowing anchors must find every planted shared
+    substring of length >= min_len, and the native verify must agree with a
+    brute-force shared-gram check."""
+    import pandas as pd
+
+    from probminhash_spark.operators.substring import substring_dup_pairs
+
+    rng = np.random.default_rng(23)
+
+    def rand_text(n):
+        return "".join(
+            rng.choice(list("abcdefghijklmnopqrstuvwxyz 0123456789"), n)
+        )
+
+    shared = rand_text(25)  # >= min_len=20
+    short_shared = rand_text(12)  # < min_len: must NOT create a pair alone
+    rows = []
+    for i in range(6):
+        rows.append((i, rand_text(80) + shared + rand_text(80)))
+    for i in range(6, 10):
+        rows.append((i, rand_text(80) + short_shared + rand_text(80)))
+    for i in range(10, 30):
+        rows.append((i, rand_text(200)))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "content": [r[1] for r in rows]})
+    )
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in substring_dup_pairs(docs, min_len=20, k=8, on_capped="fail").collect()
+    }
+    # brute-force truth: pairs sharing any 20-gram
+    def grams(t):
+        return {t[i : i + 20] for i in range(len(t) - 19)}
+
+    g = {r[0]: grams(r[1]) for r in rows}
+    truth = {
+        (a, b)
+        for a in g
+        for b in g
+        if a < b and g[a] & g[b]
+    }
+    assert got == truth
+    planted = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert planted <= got
