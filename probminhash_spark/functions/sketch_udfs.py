@@ -221,12 +221,14 @@ def make_ordminhash_udf(m: int = 32, l: int = 2, seed: int = 0x5EED):
     """content -> order-sensitive edit-distance signature (ProbOrdMinHash2,
     S27/S28) over the document's token-hash sequence.
 
-    The l-minima store is inherently sequential per document
-    (``probordminhash2.rs:85-115``), so this is a parity/moderate-scale
-    operator (per-doc loop inside the Arrow batch), not the 10^12-file hot
-    path — winnowing fingerprints cover order-sensitive dedup at scale.
+    Uses the cross-doc vectorized kernel (``probordminhash2_batch``): the
+    l-minima store is sequential WITHIN a doc (``probordminhash2.rs:85-115``)
+    but docs are independent, so item position t of every doc in the Arrow
+    batch is processed in lockstep — no per-doc Python loop.  Docs with
+    fewer than l tokens are padded with zero-hash sentinels (one whole-batch
+    concat, same padding the sequential path used).
     """
-    from ..kernels.probordminhash2 import ProbOrdMinHash2
+    from ..kernels.probordminhash2 import probordminhash2_batch
     from ..kernels.shingles import token_hashes
 
     @pandas_udf(ArrayType(LongType()))
@@ -236,15 +238,16 @@ def make_ordminhash_udf(m: int = 32, l: int = 2, seed: int = 0x5EED):
         if n == 0:
             return pd.Series([], dtype=object)
         d, th = token_hashes(texts)
-        pom = ProbOrdMinHash2(m=m, l=l, seed=seed)
-        bounds = np.searchsorted(d, np.arange(n + 1))
-        out = []
-        for i in range(n):
-            seq = th[bounds[i] : bounds[i + 1]]
-            if seq.size < l:
-                seq = np.concatenate([seq, np.zeros(l - seq.size, dtype=U64)])
-            out.append(pom.hash_seq(seq).view(np.int64))
-        return pd.Series(out)
+        counts = np.bincount(d, minlength=n)
+        short = np.nonzero(counts < l)[0]
+        if short.size:
+            pad_docs = np.repeat(short, l - counts[short])
+            d = np.concatenate([d, pad_docs])
+            th = np.concatenate([th, np.zeros(pad_docs.size, dtype=U64)])
+            order = np.argsort(d, kind="stable")
+            d, th = d[order], th[order]
+        sig = probordminhash2_batch(d, th, n, m, l, seed).view(np.int64)
+        return pd.Series(list(sig))
 
     return ordminhash
 

@@ -212,3 +212,31 @@ def test_sha_states_dedup_and_cache():
     # second call hits the cache, same result
     states2, _ = sha512_256_states(keys)
     assert states2.tolist() == states.tolist()
+
+
+def test_probordminhash2_batch_equals_sequential():
+    """The cross-doc vectorized kernel must reproduce hash_seq exactly
+    (same rng streams, same l-minima evolution, same combine chain)."""
+    import numpy as np
+
+    from probminhash_spark.kernels.probordminhash2 import (
+        ProbOrdMinHash2,
+        probordminhash2_batch,
+    )
+
+    rng = np.random.default_rng(123)
+    m, l, seed = 16, 2, 0x5EED
+    docs, hashes, expect = [], [], []
+    pom = ProbOrdMinHash2(m=m, l=l, seed=seed)
+    for d in range(12):
+        n = int(rng.integers(l, 120))
+        # repeated items exercise the occurrence counter
+        seq = rng.integers(0, 30, n, dtype=np.int64).astype(np.uint64)
+        expect.append(pom.hash_seq(seq))
+        docs.append(np.full(n, d, dtype=np.int64))
+        hashes.append(seq)
+    got = probordminhash2_batch(
+        np.concatenate(docs), np.concatenate(hashes), 12, m, l, seed
+    )
+    for d in range(12):
+        assert got[d].tolist() == expect[d].tolist(), d
