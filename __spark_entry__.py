@@ -424,6 +424,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Fan a small single-file scan out to full parallelism before a pandas
+    UDF stage (no-op when the scan already has enough splits)."""
+    from probminhash_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 def _scalarize_sig(df: DataFrame, col: str) -> DataFrame:
     """Encode an array<long> column as driver-hashable scalars.
 
@@ -452,7 +460,7 @@ def sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = make_sketch_udf(cfg)
     out = (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", sketch(F.col("text")).alias("sig"))
         .orderBy("doc_id")
     )
@@ -470,7 +478,7 @@ def sketch_superminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = DedupConfig(algo="superminhash", num_hashes=64, bands=16, rows=4)
     sketch = make_sketch_udf(cfg)
     out = (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", sketch(F.col("text")).alias("sig"))
         .orderBy("doc_id")
     )
@@ -493,7 +501,7 @@ def sketch_signatures_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = make_sketch_udf(cfg)
     out = (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", sketch(F.col("text")).alias("sig"))
         .orderBy("doc_id")
     )
@@ -512,7 +520,7 @@ def sketch_superminhash2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = DedupConfig(algo="superminhash2", num_hashes=64, bands=16, rows=4)
     sketch = make_sketch_udf(cfg)
     out = (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", sketch(F.col("text")).alias("sig"))
         .orderBy("doc_id")
     )
@@ -531,7 +539,7 @@ def sketch_revoptdens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = DedupConfig(algo="revoptdens", num_hashes=64, bands=16, rows=4)
     sketch = make_sketch_udf(cfg)
     out = (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", sketch(F.col("text")).alias("sig"))
         .orderBy("doc_id")
     )
@@ -548,7 +556,7 @@ def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     card = make_cardinality_udf(DedupConfig())
     return (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", F.round(card(F.col("text")), 2).alias("est_distinct_shingles"))
         .orderBy("doc_id")
     )
@@ -564,7 +572,7 @@ def sketch_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     sim = make_simhash_udf(DedupConfig(shingle_mode="token", shingle_size=1))
     return (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", sim(F.col("text")).alias("simhash64"))
         .orderBy("doc_id")
     )
@@ -620,7 +628,7 @@ def sketch_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     fp = make_fingerprint_udf(window=16, k=8)
     out = (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", fp(F.col("text")).alias("fingerprint"))
         .orderBy("doc_id")
     )
@@ -636,7 +644,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     lang = make_lang_id_udf()
     return (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", lang(F.col("text")).alias("lang_pred"))
         .orderBy("doc_id")
     )
@@ -652,7 +660,7 @@ def sketch_ordminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     om = make_ordminhash_udf(m=16, l=2)
     out = (
-        spark.table("documents")
+        _par(spark.table("documents"))
         .select("doc_id", om(F.col("text")).alias("ord_sig"))
         .orderBy("doc_id")
     )
@@ -728,7 +736,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
-    out = extract_features(media, n_features=8)
+    out = extract_features(_par(media), n_features=8)
     out = out.select(
         "doc_id",
         "modality",

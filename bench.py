@@ -33,6 +33,10 @@ HEADLINE = [
     "text_token_stats",
     "sketch_signatures",
     "sketch_superminhash",
+    # round 2 additions (dedup_substring is oracle-scale all-pairs-exact,
+    # benched separately like dedup_ngram_jaccard)
+    "sketch_ordminhash",
+    "sketch_group_jaccard",
 ]
 
 

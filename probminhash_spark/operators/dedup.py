@@ -26,15 +26,29 @@ def with_doc_id(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
     return df.withColumn(id_col, F.xxhash64(*[F.col(c) for c in key_cols]))
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input has
+    fewer splits (e.g. one small parquet file -> one partition -> a pandas
+    UDF stage runs on ONE core).  A no-op at scale, where scans already
+    produce >= parallelism splits; the guard costs one narrow analysis call.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_signature(
     df: DataFrame,
     cfg: DedupConfig,
     content_col: str = "content",
     sig_col: str = "sig",
 ) -> DataFrame:
-    """Attach the configured minhash signature (array<long>, length m)."""
+    """Attach the configured minhash signature (array, length m) — the UDF
+    stage is fanned out to full parallelism first (see ensure_parallelism)."""
     sketch = make_sketch_udf(cfg)
-    return df.withColumn(sig_col, sketch(F.col(content_col)))
+    return ensure_parallelism(df).withColumn(sig_col, sketch(F.col(content_col)))
 
 
 def band_explode(

@@ -32,9 +32,13 @@ def group_distinct_shingles(
     also feed Jaccard estimates between groups, and group sketches merge
     further up a rollup hierarchy for free.
     """
+    from .dedup import ensure_parallelism
+
     params = SetSketchParams(m=cfg.setsketch_m)
     reg_udf = make_setsketch_udf(cfg)
-    sketched = docs.select(*group_cols, reg_udf(F.col(content_col)).alias("regs"))
+    sketched = ensure_parallelism(docs).select(
+        *group_cols, reg_udf(F.col(content_col)).alias("regs")
+    )
 
     out_schema = (
         ", ".join(f"{c} string" for c in group_cols)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 
 from ..config import DedupConfig
 from ..functions.sketch_udfs import make_fingerprint_udf
-from .dedup import candidate_pairs
+from .dedup import candidate_pairs, ensure_parallelism
 
 
 def _gram_array(l: int, text_col: str = "content") -> str:
@@ -63,8 +63,8 @@ def substring_dup_pairs(
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
     window = min_len - k + 1
-    eligible = docs.where(F.length(content_col) >= min_len).select(
-        id_col, content_col
+    eligible = ensure_parallelism(
+        docs.where(F.length(content_col) >= min_len).select(id_col, content_col)
     )
     fp = make_fingerprint_udf(window=window, k=k)
     anchors = eligible.select(
