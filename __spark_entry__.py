@@ -314,6 +314,28 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (word pieces + standalone punctuation),
+    the pre-tokenizer convention of GPT-style BPE vocabularies — native
+    regexp_extract_all on both sides (explicit char classes so the Java and
+    RE2 regex dialects agree)."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(SIZE(regexp_extract_all(text,
+                   '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]', 0)) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(SIZE(regexp_extract_all(text, '[A-Za-z0-9_]+', 0)) AS BIGINT)
+                   AS n_word_tokens,
+               CAST(SIZE(regexp_extract_all(text,
+                   '[^A-Za-z0-9_ \\t\\n]', 0)) AS BIGINT) AS n_punct_tokens
+        FROM documents
+        ORDER BY doc_id
+        """
+    )
+
+
 def text_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality profile by (lang, source)."""
     _load(spark, sf_dir, "documents")
@@ -772,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": dedup_substring,
         "dedup_clusters": dedup_clusters,
         "text_token_stats": text_token_stats,
+        "text_token_stats_bpe": text_token_stats_bpe,
         "text_quality_summary": text_quality_summary,
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -965,6 +988,16 @@ def oracle_sql() -> dict[str, str]:
                    LEN(text) AS n_chars_actual,
                    ROUND(CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE)
                          / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "text_token_stats_bpe": """
+            SELECT doc_id,
+                   LEN(regexp_extract_all(text,
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]')) AS n_bpe_tokens,
+                   LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_word_tokens,
+                   LEN(regexp_extract_all(text,
+                       '[^A-Za-z0-9_ \t\n]')) AS n_punct_tokens
             FROM documents
             ORDER BY doc_id
         """,

@@ -189,3 +189,52 @@ def test_streaming_replay_is_idempotent(spark, tmp_path):
     assert before == after
     edges = spark.read.parquet(str(tmp_path / "state" / "edges"))
     assert edges.where(F.col("band_hit_rate") > 1.0).count() == 0
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: each distinct content emitted
+    exactly once across micro-batch waves; re-ingested copies dropped by the
+    engine-managed state store."""
+    import pandas as pd
+
+    from probminhash_spark.corpus import generate_files
+    from probminhash_spark.streaming.state_dedup import dedup_first_seen
+
+    files = generate_files(n_files=40, n_clusters=4, seed=31)
+    # wave 2 re-ingests half of wave 1 (same content, different path) plus
+    # 10 genuinely new rows
+    w1 = files.iloc[:30].copy()
+    w2 = pd.concat(
+        [
+            files.iloc[:15].assign(path=lambda d: d.path + ".copy"),
+            files.iloc[30:],
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    w1.to_parquet(src / "w1.parquet")
+    schema = "repo string, path string, commit string, lang string, content string"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def run_wave():
+        q = (
+            dedup_first_seen(spark.readStream.schema(schema).parquet(str(src)))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_wave()
+    got1 = spark.read.parquet(out_dir)
+    n_distinct_w1 = w1["content"].nunique()
+    assert got1.count() == n_distinct_w1
+    w2.to_parquet(src / "w2.parquet")
+    run_wave()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    all_distinct = pd.concat([w1, w2])["content"].nunique()
+    assert len(got2) == all_distinct
+    assert got2["content_sha"].nunique() == len(got2)  # one row per content
