@@ -624,6 +624,26 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF coarse quantizer (sample-trained
+    spherical k-means cells + n_probe exact re-rank) — rows-only by design
+    (approximate operator; recall vs brute force asserted in pytest)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.operators.similarity import cosine_topk_ivf
+
+    _load(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    queries_df = vectors.where(F.col("vec_id") < 8)
+    out = cosine_topk_ivf(vectors, queries_df, k=5, n_centroids=32, n_probe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rk").cast("bigint").alias("rk"),
+    ).orderBy("query_id", "rk")
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.99) via hyperplane-LSH blocking
     + exact verification; coincides with the brute-force SQL oracle because
@@ -806,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cardinality": sketch_cardinality,
         "sketch_simhash": sketch_simhash,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "sketch_fingerprints": sketch_fingerprints,
         "lang_id_heuristic": lang_id_heuristic,

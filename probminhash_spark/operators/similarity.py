@@ -186,6 +186,105 @@ def cosine_topk_lsh(
     )
 
 
+def _train_ivf_centroids(
+    vectors: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    sample: int = 4096,
+    iters: int = 20,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample (standard IVF practice:
+    train the coarse quantizer on a fraction, assign everything
+    distributed).  Deterministic: seeded init, fixed iteration count.
+    Returns L2-normalized centroids (n_centroids, dim)."""
+    pdf = vectors.select(vec_col).limit(sample).toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(c.shape[0]):
+            members = x[assign == j]
+            if members.shape[0]:
+                mean = members.mean(axis=0)
+                c[j] = mean / max(np.linalg.norm(mean), 1e-12)
+    return c
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: every vector is
+    assigned to its nearest spherical-k-means centroid (one vectorized
+    matmul per Arrow batch); a query probes its ``n_probe`` closest cells
+    and exact cosine re-ranks the union.  The scale path complementary to
+    hyperplane LSH: candidate volume ~ n_probe/n_centroids of the corpus,
+    concentrated where the query lives."""
+    c = _train_ivf_centroids(vectors, vec_col, n_centroids, seed=seed)
+    n_cells = c.shape[0]
+    probes = min(n_probe, n_cells)
+
+    def make_cells_udf(top: int):
+        @pandas_udf(ArrayType(LongType()))
+        def cells(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ c.T
+            top_cells = np.argsort(-sims, axis=1)[:, :top].astype(np.int64)
+            return pd.Series(list(top_cells))
+
+        return cells
+
+    assign1 = make_cells_udf(1)
+    assignp = make_cells_udf(probes)
+    vcells = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        F.broadcast(qcells)
+        .join(vcells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    v = with_unit_norm(vectors, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "e", "nrm"
+    )
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .withColumn("cosine", _norm_dot_cols("qe", "e") / (F.col("qn") * F.col("nrm")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

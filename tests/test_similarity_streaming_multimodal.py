@@ -238,3 +238,27 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     all_distinct = pd.concat([w1, w2])["content"].nunique()
     assert len(got2) == all_distinct
     assert got2["content_sha"].nunique() == len(got2)  # one row per content
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from probminhash_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    vectors = _embeddings_df(spark).cache()
+    queries = vectors.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(vectors, queries, k=5)
+    approx = cosine_topk_ivf(vectors, queries, k=5, n_centroids=16, n_probe=4)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"IVF top-k recall {recall:.2f}"
+    # determinism: same seed -> same result
+    ap2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            vectors, queries, k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert ap == ap2
