@@ -297,6 +297,21 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_l", "id_r")
 
 
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline end-to-end: LSH edges (sketch -> band -> verify) feed
+    large-star/small-star connected components.  Oracle = the same
+    recursive-CTE closure as dedup_clusters: the LSH edge set coincides with
+    the brute-force edge set on this corpus (see dedup_minhash_lsh's
+    oracle-equivalence assumptions, asserted via on_capped='fail')."""
+    from probminhash_spark.operators.components import assign_clusters
+
+    _load(spark, sf_dir, "documents")
+    edges = dedup_minhash_lsh(spark, sf_dir).select("id_l", "id_r")
+    docs = spark.table("documents").selectExpr("doc_id")
+    out = assign_clusters(docs, edges)
+    return out.selectExpr("doc_id", "cluster_id").orderBy("doc_id")
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / quality stats per document (training-data op)."""
     _load(spark, sf_dir, "documents")
@@ -813,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_substring": dedup_substring,
         "dedup_clusters": dedup_clusters,
+        "dedup_clusters_lsh": dedup_clusters_lsh,
         "text_token_stats": text_token_stats,
         "text_token_stats_bpe": text_token_stats_bpe,
         "text_quality_summary": text_quality_summary,
@@ -877,7 +893,7 @@ def _lang_id_duck_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2)                          AS sum_qty,
@@ -1078,3 +1094,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_l, id_r
         """,
     }
+    # LSH-edge clustering coincides with brute-force-edge clustering on this
+    # corpus (J-gap assumption, asserted via on_capped='fail' in the query)
+    d["dedup_clusters_lsh"] = d["dedup_clusters"]
+    return d
