@@ -198,7 +198,14 @@ def _train_ivf_centroids(
     train the coarse quantizer on a fraction, assign everything
     distributed).  Deterministic: seeded init, fixed iteration count.
     Returns L2-normalized centroids (n_centroids, dim)."""
-    pdf = vectors.select(vec_col).limit(sample).toPandas()
+    # xxhash64-ordered take: a deterministic pseudo-random sample regardless
+    # of scan/partition order (plain limit() is scan-order-dependent)
+    pdf = (
+        vectors.select(vec_col, F.xxhash64(vec_col).alias("_h"))
+        .orderBy("_h")
+        .limit(sample)
+        .toPandas()
+    )
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
