@@ -35,9 +35,87 @@ FEATURE_SCHEMA = "doc_id long, modality string, n_bytes long, features array<flo
 
 def _decode_image_real(payload: bytes, width: int, height: int) -> np.ndarray:
     raise NotImplementedError(
-        "image decode requires PIL/libjpeg — not available in this container; "
-        "plug a real decoder here (payload -> HxWx3 uint8 array)"
+        "compressed image decode requires PIL/libjpeg — not available in this "
+        "container; plug a real decoder here (payload -> HxWx3 uint8 array). "
+        "Uncompressed BMP decodes natively via _decode_bmp."
     )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER), pure
+    numpy — no codec libraries needed.  Returns (H, W, 3) uint8 in RGB.
+    Handles 4-byte row padding and bottom-up (positive height) storage."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=pixel_off)
+    rows = raw.reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for PCM WAV via the stdlib ``wave`` module + numpy.
+    Returns (samples float32 in [-1, 1] shaped (n, channels), sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    return x.reshape(-1, nch), rate
+
+
+def _image_features(img: np.ndarray, n_features: int) -> np.ndarray:
+    """Deterministic stats over a decoded HxWx3 image: per-channel mean/std
+    + a coarse luminance histogram, truncated/padded to n_features."""
+    f = np.zeros(n_features, dtype=np.float32)
+    chan = img.reshape(-1, 3).astype(np.float32)
+    stats = np.concatenate([chan.mean(axis=0), chan.std(axis=0)])
+    lum = chan.mean(axis=1)
+    hist, _ = np.histogram(lum, bins=max(n_features - 6, 1), range=(0.0, 255.0))
+    vals = np.concatenate([stats, hist / max(lum.size, 1)])
+    f[: min(vals.size, n_features)] = vals[:n_features]
+    return f
+
+
+def _audio_features(x: np.ndarray, n_features: int) -> np.ndarray:
+    """Deterministic stats over decoded PCM: global mean/std/absmax + framed
+    RMS envelope, truncated/padded to n_features."""
+    f = np.zeros(n_features, dtype=np.float32)
+    mono = x.mean(axis=1)
+    head = np.array([mono.mean(), mono.std(), np.abs(mono).max() if mono.size else 0.0])
+    nfr = max(n_features - 3, 1)
+    pad = (-mono.size) % nfr
+    framed = np.pad(mono, (0, pad)).reshape(nfr, -1)
+    rms = np.sqrt((framed**2).mean(axis=1))
+    vals = np.concatenate([head, rms])
+    f[: min(vals.size, n_features)] = vals[:n_features]
+    return f
 
 
 def _fake_decode_batch(payloads, n_features: int) -> np.ndarray:
@@ -75,24 +153,28 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real_decoders:
-                # the codec seam: per-payload calls are inherent to real
-                # decoders (libjpeg etc.); stubbed in this container
-                feats = [
-                    _decode_image_real(p or b"", m["width"], m["height"])
-                    .mean(axis=(0, 1))
-                    .astype(np.float32)
-                    if mod == "image"
-                    else _fake_decode_batch([p], n_features)[0]
-                    for p, mod, m in zip(pdf["payload"], pdf["modality"], pdf["meta"])
-                ]  # pragma: no cover
-            else:
-                feats = list(_fake_decode_batch(list(pdf["payload"]), n_features))
+            payloads = [p or b"" for p in pdf["payload"]]
+            # vectorized fallback for every payload; real decodes (sniffed by
+            # magic bytes) overwrite their rows — per-payload calls are
+            # inherent to container decoders, and only run for real media
+            feats = list(_fake_decode_batch(payloads, n_features))
+            for i, p in enumerate(payloads):
+                try:
+                    if p[:2] == b"BM":
+                        feats[i] = _image_features(decode_bmp(p), n_features)
+                    elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        feats[i] = _audio_features(decode_wav(p)[0], n_features)
+                    elif use_real_decoders and pdf["modality"].iloc[i] == "image":
+                        meta = pdf["meta"].iloc[i]  # pragma: no cover
+                        img = _decode_image_real(p, meta["width"], meta["height"])
+                        feats[i] = _image_features(img, n_features)
+                except (ValueError, EOFError):
+                    pass  # malformed media: keep the byte-stat fallback
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "n_bytes": [len(p) for p in payloads],
                     "features": feats,
                 }
             )

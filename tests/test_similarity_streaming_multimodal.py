@@ -262,3 +262,77 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         ).collect()
     }
     assert ap == ap2
+
+
+def _make_bmp(w, h, rng):
+    """Hand-rolled 24-bit uncompressed BMP (bottom-up) for decoder tests."""
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = img[r][:, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    pixel_off = 54
+    size = pixel_off + len(body)
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+        + pixel_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(hdr) + bytes(body), img
+
+
+def _make_wav(n, rate, rng):
+    import io
+    import wave
+
+    samples = (rng.uniform(-0.5, 0.5, n) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def test_real_bmp_and_wav_decode(spark):
+    """BMP and PCM-WAV payloads decode for real (pure numpy / stdlib wave);
+    compressed codecs stay stubbed with the byte-stat fallback."""
+    from probminhash_spark.operators.multimodal import (
+        _audio_features,
+        _image_features,
+        decode_bmp,
+        decode_wav,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(41)
+    bmp, img = _make_bmp(13, 7, rng)  # width forces row padding
+    wav, samples = _make_wav(1000, 16000, rng)
+    assert np.array_equal(decode_bmp(bmp), img)
+    dec, rate = decode_wav(wav)
+    assert rate == 16000
+    assert np.allclose(dec[:, 0], samples / 32768.0)
+
+    rows = [
+        (1, "image", bmp, (13, 7, None, None, "bmp")),
+        (2, "audio", wav, (None, None, 16000, None, "pcm")),
+        (3, "image", b"\x89PNG fake compressed", (4, 4, None, None, "png")),
+        (4, "image", b"BMbroken", (2, 2, None, None, "bmp")),  # malformed
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int, codec:string>",
+    )
+    feats = {r["doc_id"]: np.array(r["features"]) for r in
+             extract_features(media, n_features=16).collect()}
+    assert np.allclose(feats[1], _image_features(img, 16), atol=1e-5)
+    assert np.allclose(feats[2], _audio_features(dec, 16), atol=1e-5)
+    assert feats[3].shape == (16,) and feats[4].shape == (16,)  # fallbacks
