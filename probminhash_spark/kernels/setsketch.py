@@ -79,12 +79,30 @@ def setsketch_batch(
     hasher: str = "nohash",
     lanes_per_chunk: int | None = None,
 ) -> np.ndarray:
-    """Register vectors (ndocs, m) uint16 for a batch of unweighted sets."""
+    """Register vectors (ndocs, m) uint16 for a batch of unweighted sets.
+
+    Min-reduce formulation: register[k] = min(q+1, floor(1 - log_b(xmin_k)))
+    where ``xmin_k`` is the minimum of the per-item exponential chain values
+    that land on slot ``k``, because z(x) is monotone decreasing in x.  So
+    the inner loop only accumulates raw x minima per (doc, slot) — two rng
+    draws and one scatter-min per candidate, NO per-candidate log/floor —
+    and a single log evaluates on the reduced (ndocs, m) matrix at the end.
+
+    Equivalence with the reference's early-exit walk
+    (``setsketcher.rs:291-368``): each item's draw stream is a fixed prefix
+    (e_j, u_j) and the early exits only choose where the prefix stops; every
+    candidate the reference skips satisfies z <= lower_k <= all final
+    registers, so evaluating the full superset of candidates leaves every
+    per-slot max (= z of per-slot min x) unchanged.  At the reference's own
+    parameters (a=20) the exit thresholds b^-lower_k are rarely reachable
+    within m rounds anyway, so the superset costs ~nothing and removes all
+    alive-lane bookkeeping from the hot loop (~3x).
+    """
     p = params or SetSketchParams()
     m, q, a, lnb = p.m, p.q, p.a, p.lnb
     doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
     item_hash = np.ascontiguousarray(item_hash, dtype=U64)
-    regs = np.zeros((ndocs, m), dtype=np.int64)  # i64 during build, u16 out
+    xmin = np.full(ndocs * m, np.inf, dtype=np.float64)
     if lanes_per_chunk is None:
         lanes_per_chunk = max(128, (1 << 21) // max(m, 1))
     seeds = hash_u64(item_hash, hasher)
@@ -93,39 +111,24 @@ def setsketch_batch(
     n = doc_idx.shape[0]
     for lo in range(0, n, lanes_per_chunk):
         hi = min(lo + lanes_per_chunk, n)
-        docs = doc_idx[lo:hi]
-        nl = docs.shape[0]
+        docs_m = doc_idx[lo:hi] * m
+        nl = docs_m.shape[0]
         rng = _xoshiro_from_state(Xoshiro256pp(seeds[lo:hi]).s)
-        lower_k = regs.min(axis=1).astype(np.float64)  # conservative floor
-        lk = lower_k[docs]
         v = np.tile(np.arange(m, dtype=np.int32), (nl, 1))  # FY value array
         rows = np.arange(nl)
         x = np.zeros(nl, dtype=np.float64)
-        alive = np.ones(nl, dtype=bool)
         for j in range(m):
-            if not alive.any():
-                break
-            e = exp1(rng, alive)
-            x = np.where(alive, x + (inva / (m - j)) * e, x)
-            with np.errstate(divide="ignore"):
-                lb_x = np.log(x) / lnb
-            alive &= ~(lb_x > -lk)  # setsketcher.rs:311-313
-            z = np.minimum(iq1, np.floor(1.0 - lb_x, where=alive, out=np.zeros(nl)))
-            k = np.maximum(0, z).astype(np.int64)
-            alive &= k.astype(np.float64) > lk  # setsketcher.rs:323-327
-            if not alive.any():
-                break
+            x += (inva / (m - j)) * exp1(rng)
             # lazy FY with u01 index mapping (fyshuffle.rs:42-48)
-            u = rng.next_f64(alive)
-            idx = (j + (u * (m - j)).astype(np.int64)).clip(0, m - 1)
-            ar = rows[alive]
-            ai = idx[alive]
-            slot_val = v[ar, ai].copy()
-            v[ar, ai] = v[ar, j]
-            v[ar, j] = slot_val
-            flat = docs[ar] * m + slot_val.astype(np.int64)
-            np.maximum.at(regs.reshape(-1), flat, k[alive])
-    return np.clip(regs, 0, min(iq1, 0xFFFF)).astype(np.uint16)
+            idx = (j + (rng.next_f64() * (m - j)).astype(np.int64)).clip(0, m - 1)
+            slot_val = v[rows, idx].copy()
+            v[rows, idx] = v[rows, j]
+            v[rows, j] = slot_val
+            np.minimum.at(xmin, docs_m + slot_val, x)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.floor(1.0 - np.log(xmin) / lnb)
+    regs = np.where(np.isfinite(xmin), np.clip(z, 0, min(iq1, 0xFFFF)), 0.0)
+    return regs.reshape(ndocs, m).astype(np.uint16)
 
 
 def setsketch_cardinality(regs: np.ndarray, params: SetSketchParams | None = None):
