@@ -52,8 +52,13 @@ class DedupConfig:
     verify_exact: bool = True  # re-shingle + exact Jaccard on survivors
     # skew policy (SURVEY.md §2.2 candidate generation)
     bucket_cap: int = 2000  # band buckets larger than this are dropped+counted
-    # SetSketch prefilter
-    cardinality_prefilter: bool = True
+    # SetSketch size-ratio candidate prefilter (SURVEY §2.2; J <= min/max).
+    # Off by default: in this engine the cheap native zip_with estimate
+    # (est_low_cut) already gates the expensive content verify, so the
+    # prefilter's SetSketch pass over candidate-touched docs only pays when
+    # candidate sets blow up with size-mismatched pairs (wide-J corpora,
+    # aggressive banding) — enable it there.
+    cardinality_prefilter: bool = False
     setsketch_m: int = 256
 
     def __post_init__(self):

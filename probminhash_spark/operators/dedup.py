@@ -17,7 +17,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import DedupConfig
-from ..functions.sketch_udfs import make_exact_jaccard_udf, make_sketch_udf
+from ..functions.sketch_udfs import (
+    make_cardinality_udf,
+    make_exact_jaccard_udf,
+    make_sketch_udf,
+)
 
 
 def with_doc_id(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
@@ -113,6 +117,58 @@ def candidate_pairs(
         .dropDuplicates(["id_l", "id_r"])
     )
     return pairs, capped
+
+
+def cardinality_prefilter(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Size-ratio candidate prefilter (SURVEY §2.2, SetSketch S16/S18):
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|) always, so a pair whose estimated
+    distinct-shingle counts are wildly mismatched can never verify at
+    cfg.threshold.  Cardinalities are estimated only for candidate-touched
+    docs (left-semi first — at scale that subset is << the corpus), and the
+    cutoff carries a 6x-relative-std margin so estimator noise can only
+    ADMIT extra pairs, never drop a true one (conservative-superset
+    invariant)."""
+    import math
+
+    from ..kernels.setsketch import SetSketchParams
+
+    card_udf = make_cardinality_udf(cfg)
+    p = SetSketchParams(m=cfg.setsketch_m)
+    rel_std = math.sqrt(((p.b + 1.0) / (p.b - 1.0) * p.lnb - 1.0) / p.m)
+    cutoff = cfg.threshold * max(0.0, 1.0 - 6.0 * rel_std)
+    cand_ids = (
+        pairs.select(F.col("id_l").alias(id_col))
+        .union(pairs.select(F.col("id_r").alias(id_col)))
+        .distinct()
+    )
+    touched = docs.join(cand_ids, id_col, "left_semi")
+    # unconditional repartition: the semi-join's STATIC partition count looks
+    # fine but AQE coalesces the small shuffle to ~1 partition at runtime,
+    # which would serialize the SetSketch UDF; an explicit repartition is
+    # exempt from AQE coalescing
+    sc = docs.sparkSession.sparkContext
+    cards = touched.repartition(sc.defaultParallelism).select(
+        F.col(id_col), card_udf(F.col(content_col)).alias("est_card")
+    )
+    return (
+        pairs.join(
+            cards.withColumnsRenamed({id_col: "id_l", "est_card": "card_l"}), "id_l"
+        )
+        .join(
+            cards.withColumnsRenamed({id_col: "id_r", "est_card": "card_r"}), "id_r"
+        )
+        .where(
+            F.least("card_l", "card_r") / F.greatest("card_l", "card_r")
+            >= F.lit(cutoff)
+        )
+        .select("id_l", "id_r")
+    )
 
 
 def estimate_pair_jaccard(
@@ -218,6 +274,10 @@ def dedup_edges(
             )
     elif on_capped != "star":  # pragma: no cover
         raise ValueError(f"bad on_capped {on_capped!r}")
+    if cfg.cardinality_prefilter:
+        pairs = cardinality_prefilter(
+            pairs, docs.select(id_col, content_col), cfg, id_col, content_col
+        )
     est = estimate_pair_jaccard(pairs, sigs, cfg, id_col)
     return verify_pairs(est, docs.select(id_col, content_col), cfg, id_col, content_col)
 

@@ -289,3 +289,47 @@ def test_substring_dup_pairs_planted(spark):
     assert got == truth
     planted = {(a, b) for a in range(6) for b in range(6) if a < b}
     assert planted <= got
+
+
+def test_cardinality_prefilter_drops_mismatched_keeps_similar(spark):
+    """The size-ratio prefilter must drop pairs whose estimated cardinality
+    ratio cannot reach threshold, and must NEVER drop a true near-dup
+    (conservative margin)."""
+    import pandas as pd
+
+    from probminhash_spark.operators.dedup import cardinality_prefilter
+
+    rng = np.random.default_rng(3)
+    base = " ".join(f"tok{int(t)}" for t in rng.integers(0, 5000, 400))
+    near = base + " extra token tail"
+    huge = " ".join(f"w{int(t)}" for t in rng.integers(0, 10**6, 20000))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "content": [base, near, huge]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_l": [1, 1], "id_r": [2, 3]})
+    )
+    cfg = DedupConfig(threshold=0.8)
+    kept = {
+        (r["id_l"], r["id_r"])
+        for r in cardinality_prefilter(pairs, docs, cfg).collect()
+    }
+    assert (1, 2) in kept  # near-identical sizes survive
+    assert (1, 3) not in kept  # 400-token vs 20k-token can never reach J=0.8
+
+
+def test_recall_with_cardinality_prefilter_enabled(spark, tiny_corpus, spark_files):
+    """With the SetSketch size-ratio prefilter enabled, recall must hold
+    (the 6-sigma margin keeps the filter a conservative superset)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, cardinality_prefilter=True)
+    edges = dedup_edges(spark_files, cfg).collect()
+    found = {(min(e["id_l"], e["id_r"]), max(e["id_l"], e["id_r"])) for e in edges}
+    pos = _pos_map(tiny_corpus, spark_files)
+    truth = {
+        (min(pos[a], pos[b]), max(pos[a], pos[b]))
+        for a, b in zip(tiny_corpus.truth_pairs.id_l, tiny_corpus.truth_pairs.id_r)
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.99 and found <= truth
