@@ -141,6 +141,71 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSIONS_SQL = """
+WITH t AS (
+  SELECT user_id, {epoch} AS ep FROM events
+),
+m AS (
+  SELECT user_id, ep,
+         CASE WHEN LAG(ep) OVER (PARTITION BY user_id ORDER BY ep) IS NULL
+                   OR ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM t
+),
+s AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ep
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+),
+g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits a session) — the
+    batch form of streaming session windows; lag + running-sum windows.
+    Deterministic under timestamp ties: tied rows always share a session."""
+    _load(spark, sf_dir, "events")
+    return spark.sql(_SESSIONS_SQL.format(epoch="unix_timestamp(ts)"))
+
+
+_QUALITY_FILTER_TMPL = """
+WITH f AS (
+  SELECT doc_id,
+         {length}(text) AS n_chars,
+         {length}({strip_nonword}) AS n_word_chars,
+         {length}(REPLACE(text, ' ', '')) AS n_nonspace,
+         {ntokens} AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN n_chars < 100 THEN 'too_short'
+            WHEN 10 * (n_chars - n_word_chars) > 3 * n_chars THEN 'too_punct'
+            WHEN n_nonspace > 12 * n_tokens THEN 'long_tokens'
+            ELSE 'keep' END AS verdict
+FROM f ORDER BY doc_id
+"""
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality gate (training-data filtering op): length floor,
+    punctuation-ratio cap, average-token-length cap — thresholds evaluated
+    in exact integer arithmetic so both dialects branch identically."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        _QUALITY_FILTER_TMPL.format(
+            length="LENGTH",
+            strip_nonword="REGEXP_REPLACE(text, '[^A-Za-z0-9_ ]', '')",
+            ntokens="SIZE(SPLIT(text, ' '))",
+        )
+    )
+
+
 def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping + having + top-k over the event stream table."""
     _load(spark, sf_dir, "events")
@@ -822,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "q_window_top_orders": q_window_top_orders,
         "q_events_tumbling": q_events_tumbling,
+        "q_events_sessions": q_events_sessions,
         "q_events_topk_users": q_events_topk_users,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -831,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": dedup_clusters_lsh,
         "text_token_stats": text_token_stats,
         "text_token_stats_bpe": text_token_stats_bpe,
+        "text_quality_filter": text_quality_filter,
         "text_quality_summary": text_quality_summary,
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1028,6 +1095,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "q_events_sessions": _SESSIONS_SQL.format(epoch="epoch(ts)"),
+        "text_quality_filter": _QUALITY_FILTER_TMPL.format(
+            length="LEN",
+            strip_nonword="REGEXP_REPLACE(text, '[^A-Za-z0-9_ ]', '', 'g')",
+            ntokens="LEN(STRING_SPLIT(text, ' '))",
+        ),
         "text_token_stats_bpe": """
             SELECT doc_id,
                    LEN(regexp_extract_all(text,
