@@ -104,6 +104,31 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q9_SQL = """
+SELECT n.n_name AS nation, p.p_brand AS brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size < 20
+GROUP BY n.n_name, p.p_brand
+ORDER BY nation, brand
+"""
+
+
+def q9_profit_by_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style star join: the lineitem fact against three broadcastable
+    dims (part, supplier, nation) with a pushed-down dim filter — the plan
+    shape that matters at 100 TB (one fact scan, three BroadcastHashJoins,
+    no fact shuffle before the aggregate)."""
+    _load(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return spark.sql(_Q9_SQL)
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: top-2 orders per customer by total price."""
     _load(spark, sf_dir, "orders")
@@ -885,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
+        "q9_profit_by_nation_brand": q9_profit_by_nation_brand,
         "q_window_top_orders": q_window_top_orders,
         "q_events_tumbling": q_events_tumbling,
         "q_events_sessions": q_events_sessions,
@@ -1095,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "q9_profit_by_nation_brand": _Q9_SQL,
         "q_events_sessions": _SESSIONS_SQL.format(epoch="epoch(ts)"),
         "text_quality_filter": _QUALITY_FILTER_TMPL.format(
             length="LEN",
