@@ -635,6 +635,27 @@ def sketch_signatures_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalarize_sig(out, "sig")
 
 
+def sketch_probminhash2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProbMinHash2 weighted signatures (S7/S8, ``probminhash2.rs``) —
+    rows-only (sketch-valued)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.functions.sketch_udfs import make_sketch_udf
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(
+        algo="probminhash2", weighted=True, num_hashes=64, bands=16, rows=4
+    )
+    sketch = make_sketch_udf(cfg)
+    out = (
+        _par(spark.table("documents"))
+        .select("doc_id", sketch(F.col("text")).alias("sig"))
+        .orderBy("doc_id")
+    )
+    return _scalarize_sig(out, "sig")
+
+
 def sketch_superminhash2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SuperMinHash2 integer signatures over documents (S13,
     ``superminhasher2.rs:203-279``) — rows-only (sketch-valued)."""
@@ -931,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_signatures_sha": sketch_signatures_sha,
         "sketch_superminhash": sketch_superminhash,
         "sketch_superminhash2": sketch_superminhash2,
+        "sketch_probminhash2": sketch_probminhash2,
         "sketch_revoptdens": sketch_revoptdens,
         "sketch_cardinality": sketch_cardinality,
         "sketch_simhash": sketch_simhash,
