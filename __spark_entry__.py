@@ -387,6 +387,32 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_l", "id_r")
 
 
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (Manku et al. block join +
+    native bit_count verify) — rows-only (the fingerprint hash function is
+    not SQL-expressible); planted-pair recall asserted in pytest."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.dedup import simhash_dup_pairs
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").selectExpr("doc_id", "text AS content")
+    cfg = DedupConfig(shingle_mode="token", shingle_size=1)
+    out = simhash_dup_pairs(docs, cfg, max_hamming=3)
+    return out.orderBy("id_l", "id_r")
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-user dedup output: the surviving corpus (one representative
+    per duplicate cluster, min doc_id).  Oracle: recursive-CTE closure ->
+    keep rows whose min reachable id is themselves."""
+    from probminhash_spark.operators.dedup import keep_representatives
+
+    _load(spark, sf_dir, "documents")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("id_l", "id_r")
+    docs = spark.table("documents").selectExpr("doc_id")
+    return keep_representatives(docs, edges).selectExpr("doc_id").orderBy("doc_id")
+
+
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline end-to-end: LSH edges (sketch -> band -> verify) feed
     large-star/small-star connected components.  Oracle = the same
@@ -942,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": dedup_substring,
         "dedup_clusters": dedup_clusters,
         "dedup_clusters_lsh": dedup_clusters_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_survivors": dedup_survivors,
         "text_token_stats": text_token_stats,
         "text_token_stats_bpe": text_token_stats_bpe,
         "text_quality_filter": text_quality_filter,
@@ -1219,4 +1247,12 @@ def oracle_sql() -> dict[str, str]:
     # LSH-edge clustering coincides with brute-force-edge clustering on this
     # corpus (J-gap assumption, asserted via on_capped='fail' in the query)
     d["dedup_clusters_lsh"] = d["dedup_clusters"]
+    # survivors = docs whose min reachable id is themselves (same closure)
+    d["dedup_survivors"] = (
+        d["dedup_clusters"].replace(
+            "SELECT a AS doc_id, MIN(b) AS cluster_id\n            FROM reach GROUP BY a ORDER BY doc_id",
+            "SELECT a AS doc_id FROM reach GROUP BY a\n            HAVING a = MIN(b) ORDER BY doc_id",
+        )
+    )
+    assert "HAVING" in d["dedup_survivors"], "survivors oracle rewrite failed"
     return d

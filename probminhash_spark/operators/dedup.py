@@ -282,6 +282,61 @@ def dedup_edges(
     return verify_pairs(est, docs.select(id_col, content_col), cfg, id_col, content_col)
 
 
+def simhash_dup_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= ``max_hamming``
+    (Manku/Jain/Sarma, WWW'07): split the 64-bit fingerprint into
+    ``max_hamming + 1`` blocks — two fingerprints within distance d must
+    agree exactly on at least one of d+1 blocks (pigeonhole), so candidates
+    are block-equality joins (one shuffle via the shared bucket expansion)
+    and verification is a native ``bit_count(sh_l ^ sh_r)``.  Zero Python
+    after the fingerprint UDF."""
+    from ..functions.sketch_udfs import make_simhash_udf
+
+    n_blocks = max_hamming + 1
+    bits = 64 // n_blocks
+    sim = make_simhash_udf(cfg)
+    fp = ensure_parallelism(docs).select(
+        F.col(id_col), sim(F.col(content_col)).alias("sh")
+    ).persist()
+    block_expr = (
+        "transform(sequence(0, {nb} - 1), b -> struct(b AS band_id,"
+        " (shiftrightunsigned(sh, b * {bits}) & {mask}) AS band_key))"
+    ).format(nb=n_blocks, bits=bits, mask=(1 << bits) - 1)
+    bands = fp.select(
+        F.col(id_col), F.explode(F.expr(block_expr)).alias("bk")
+    ).select(id_col, "bk.band_id", "bk.band_key")
+    pairs, _capped = candidate_pairs(bands, cfg, id_col)
+    s = fp.select(F.col(id_col), F.col("sh"))
+    return (
+        pairs.join(s.withColumnsRenamed({id_col: "id_l", "sh": "sh_l"}), "id_l")
+        .join(s.withColumnsRenamed({id_col: "id_r", "sh": "sh_r"}), "id_r")
+        .withColumn("hamming", F.expr("bit_count(sh_l ^ sh_r)").cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )
+
+
+def keep_representatives(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-user dedup operation: the surviving corpus after removing
+    every duplicate except each cluster's min-id representative.  Clusters
+    come from connected components over the verified edges; survivors =
+    docs whose cluster id is their own id."""
+    from .components import assign_clusters
+
+    clustered = assign_clusters(docs, edges, id_col=id_col)
+    return clustered.where(F.col("cluster_id") == F.col(id_col)).drop("cluster_id")
+
+
 def exact_duplicates(
     docs: DataFrame,
     key_cols: list[str],

@@ -333,3 +333,52 @@ def test_recall_with_cardinality_prefilter_enabled(spark, tiny_corpus, spark_fil
     }
     recall = len(found & truth) / len(truth)
     assert recall >= 0.99 and found <= truth
+
+
+def test_simhash_dup_pairs_planted(spark):
+    """SimHash Hamming-ball dedup: few-token edits stay within the Hamming
+    ball (block-join candidates + native bit_count verify); unrelated docs
+    don't pair."""
+    import pandas as pd
+
+    from probminhash_spark.operators.dedup import simhash_dup_pairs
+
+    rng = np.random.default_rng(8)
+    vocab = [f"tok{i}" for i in range(5000)]
+
+    def text(n):
+        return " ".join(rng.choice(vocab, n))
+
+    base = text(300)
+    toks = base.split(" ")
+    toks[5] = "changedword"
+    near = " ".join(toks)
+    rows = [(0, base), (1, near)] + [(i, text(300)) for i in range(2, 40)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "content": [r[1] for r in rows]})
+    )
+    cfg = DedupConfig(shingle_mode="token", shingle_size=1)
+    got = {
+        (r["id_l"], r["id_r"]): r["hamming"]
+        for r in simhash_dup_pairs(docs, cfg, max_hamming=3).collect()
+    }
+    assert (0, 1) in got, f"planted near-dup missed: {got}"
+    for (l, r), h in got.items():
+        assert h <= 3
+
+
+def test_keep_representatives(spark, tiny_corpus, spark_files):
+    """Survivor count = n_docs - sum(cluster_size - 1); survivors are the
+    min-id member of each cluster."""
+    from probminhash_spark.operators.dedup import keep_representatives
+
+    edges = dedup_edges(spark_files, CFG)
+    surv = {r["doc_id"] for r in keep_representatives(spark_files, edges).collect()}
+    from probminhash_spark.operators.components import assign_clusters
+
+    clustered = assign_clusters(spark_files, edges).collect()
+    groups = {}
+    for r in clustered:
+        groups.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    expect = {min(g) for g in groups.values()}
+    assert surv == expect
