@@ -63,9 +63,12 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
         pass
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
         try:
-            timings[name] = round(_time_query(qs[name](spark, sf_dir)), 3)
+            # min of 2 passes: this microVM has ~2x run-to-run swings
+            # (BENCH/BASELINE.md protocol), and the recorded number should
+            # reflect steady-state, not a page-cache hiccup
+            walls = [_time_query(qs[name](spark, sf_dir)) for _ in range(2)]
+            timings[name] = round(min(walls), 3)
         except Exception as exc:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
