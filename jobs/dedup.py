@@ -27,15 +27,24 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet path or synthetic:N")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--config", default=None, help="DedupConfig JSON file")
+    ap.add_argument(
+        "--config", default=None, help="DedupConfig JSON (inline string or file path)"
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    cfg = (
-        DedupConfig.from_json(Path(args.config).read_text())
-        if args.config
-        else DedupConfig()
-    )
+    if args.config:
+        raw = (
+            args.config
+            if args.config.lstrip().startswith("{")
+            else Path(args.config).read_text()
+        )
+        # partial configs allowed: unspecified fields keep their defaults
+        import json as _json
+
+        cfg = DedupConfig(**_json.loads(raw))
+    else:
+        cfg = DedupConfig()
     spark = get_spark(app_name="probminhash-dedup", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
