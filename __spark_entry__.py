@@ -313,6 +313,95 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NGRAM_SPARK)
 
 
+_TOKEN_RE = r"[0-9A-Za-z_\x{0080}-\x{10ffff}]+"
+
+_WJ_SPARK = """
+WITH toks AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               EXPLODE(regexp_extract_all(text, '{re}', 0)) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+tot AS (SELECT doc_id, SUM(c) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, SUM(LEAST(a.c, b.c)) AS smin
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_l, id_r,
+       ROUND(CAST(smin AS DOUBLE) / (ta.n + tb.n - smin), 6) AS j_weighted
+FROM inter
+JOIN tot ta ON id_l = ta.doc_id
+JOIN tot tb ON id_r = tb.doc_id
+WHERE CAST(smin AS DOUBLE) / (ta.n + tb.n - smin) >= 0.8
+ORDER BY id_l, id_r
+""".replace("{re}", _TOKEN_RE.replace("\\", "\\\\"))
+
+_WJ_DUCK = """
+WITH toks AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               UNNEST(regexp_extract_all(text, '{re}')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+tot AS (SELECT doc_id, SUM(c) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, SUM(LEAST(a.c, b.c)) AS smin
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_l, id_r,
+       ROUND(CAST(smin AS DOUBLE) / (ta.n + tb.n - smin), 6) AS j_weighted
+FROM inter
+JOIN tot ta ON id_l = ta.doc_id
+JOIN tot tb ON id_r = tb.doc_id
+WHERE CAST(smin AS DOUBLE) / (ta.n + tb.n - smin) >= 0.8
+ORDER BY id_l, id_r
+""".replace("{re}", _TOKEN_RE)
+
+
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact WEIGHTED (multiset) token Jaccard pairs
+    (J_w >= 0.8): sum min(c_a,c_b) / sum max(c_a,c_b) over token counts —
+    the quantity the ProbMinHash family estimates (J_p), expressed natively
+    so DuckDB can replay it.  Oracle-scale all-pairs formulation."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_WJ_SPARK)
+
+
+def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline regime end-to-end WITH an oracle: weighted
+    ProbMinHash3a signatures over token multisets -> LSH banding -> weighted
+    exact verification at J_w >= 0.8.  Oracle = the brute-force weighted SQL:
+    the corpus J_w distribution is bimodal (dups >= 0.917, background shelf
+    <= 0.744, measured), banding recall at 0.917 is 1-(1-0.917^4)^32
+    ~ 1-8e-18, and on_capped='fail' guards star-capping."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.dedup import dedup_edges
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").selectExpr("doc_id", "text AS content")
+    cfg = DedupConfig(
+        shingle_mode="token",
+        shingle_size=1,
+        algo="probminhash3a",
+        weighted=True,
+        num_hashes=128,
+        bands=32,
+        rows=4,
+        threshold=0.8,
+        est_low_cut=0.6,
+    )
+    edges = dedup_edges(docs, cfg, key_cols=None, id_col="doc_id", on_capped="fail")
+    import pyspark.sql.functions as F
+
+    return edges.select(
+        "id_l", "id_r", F.round("j_exact", 6).alias("j_weighted")
+    ).orderBy("id_l", "id_r")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by content hash (hash-groupBy dedup)."""
     _load(spark, sf_dir, "documents")
@@ -964,7 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_topk_users": q_events_topk_users,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_weighted_jaccard": dedup_weighted_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_weighted": dedup_minhash_weighted,
         "dedup_substring": dedup_substring,
         "dedup_clusters": dedup_clusters,
         "dedup_clusters_lsh": dedup_clusters_lsh,
@@ -1114,6 +1205,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _NGRAM_DUCK,
         "dedup_minhash_lsh": _NGRAM_DUCK,
+        "dedup_weighted_jaccard": _WJ_DUCK,
+        "dedup_minhash_weighted": _WJ_DUCK,
         "dedup_substring": """
             WITH grams AS (
               SELECT doc_id,

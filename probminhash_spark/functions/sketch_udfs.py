@@ -190,6 +190,44 @@ def make_exact_jaccard_udf(cfg: DedupConfig):
     return exact_j
 
 
+def make_weighted_jaccard_udf(cfg: DedupConfig):
+    """(content_a, content_b) -> exact WEIGHTED (multiset) Jaccard
+    J_w = sum_t min(c_a, c_b) / sum_t max(c_a, c_b) — the quantity the
+    ProbMinHash family estimates (J_p, ``probminhash3.rs`` docs; equals J_w
+    for integer multiplicities).  Vectorized like make_exact_jaccard_udf:
+    one lexsort over both sides' (pair, hash, side) finds common runs."""
+
+    @pandas_udf(DoubleType())
+    def weighted_j(content_a: pd.Series, content_b: pd.Series) -> pd.Series:
+        n = len(content_a)
+        if n == 0:
+            return pd.Series([], dtype=np.float64)
+        da, ha, ca = _shingle_multiset(content_a.fillna("").tolist(), cfg)
+        db, hb, cb = _shingle_multiset(content_b.fillna("").tolist(), cfg)
+        tot_a = np.zeros(n, dtype=np.float64)
+        tot_b = np.zeros(n, dtype=np.float64)
+        np.add.at(tot_a, da, ca.astype(np.float64))
+        np.add.at(tot_b, db, cb.astype(np.float64))
+        pair = np.concatenate([da, db])
+        hsh = np.concatenate([ha, hb])
+        side = np.concatenate(
+            [np.zeros(da.shape[0], np.int8), np.ones(db.shape[0], np.int8)]
+        )
+        cnt = np.concatenate([ca, cb]).astype(np.float64)
+        order = np.lexsort((side, hsh, pair))
+        p, h, s, c = pair[order], hsh[order], side[order], cnt[order]
+        summin = np.zeros(n, dtype=np.float64)
+        if p.size > 1:
+            match = (p[1:] == p[:-1]) & (h[1:] == h[:-1]) & (s[:-1] == 0) & (s[1:] == 1)
+            np.add.at(summin, p[1:][match], np.minimum(c[1:], c[:-1])[match])
+        denom = tot_a + tot_b - summin  # sum max = Na + Nb - sum min
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(denom > 0, summin / denom, 1.0)
+        return pd.Series(j)
+
+    return weighted_j
+
+
 def make_simhash_udf(cfg: DedupConfig):
     """content -> 64-bit SimHash over token hashes (long).
 

@@ -214,6 +214,8 @@ def verify_pairs(
 
     Joins content back only for pairs above ``est_low_cut`` (the cheap filter
     runs first, so the expensive re-shingle UDF sees a tiny fraction).
+    Weighted configs verify with the WEIGHTED (multiset) Jaccard — the
+    quantity their sketches estimate — set configs with distinct-set Jaccard.
     """
     surv = pairs_with_est.filter(F.col("j_est") >= cfg.est_low_cut)
     if not cfg.verify_exact:
@@ -221,7 +223,12 @@ def verify_pairs(
             "j_exact", F.col("j_est")
         )
     c = docs.select(F.col(id_col), F.col(content_col))
-    exact_j = make_exact_jaccard_udf(cfg)
+    if cfg.weighted:
+        from ..functions.sketch_udfs import make_weighted_jaccard_udf
+
+        exact_j = make_weighted_jaccard_udf(cfg)
+    else:
+        exact_j = make_exact_jaccard_udf(cfg)
     # size-gated by AQE (see estimate_pair_jaccard): broadcast when survivors
     # are small, shuffled hash join on id otherwise
     return (

@@ -382,3 +382,37 @@ def test_keep_representatives(spark, tiny_corpus, spark_files):
         groups.setdefault(r["cluster_id"], []).append(r["doc_id"])
     expect = {min(g) for g in groups.values()}
     assert surv == expect
+
+
+def test_weighted_jaccard_udf_matches_bruteforce(spark):
+    """make_weighted_jaccard_udf == multiset min/max Jaccard computed the
+    slow way on token counters."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    from probminhash_spark.functions.sketch_udfs import make_weighted_jaccard_udf
+
+    rng = np.random.default_rng(12)
+    vocab = [f"w{i}" for i in range(50)]
+
+    def text(n):
+        return " ".join(rng.choice(vocab, n))
+
+    pairs = [(text(80), text(80)) for _ in range(20)] + [("", ""), ("a a a", "a b")]
+    pdf = pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    df = spark.createDataFrame(pdf)
+    wj = make_weighted_jaccard_udf(DedupConfig(shingle_mode="token", shingle_size=1))
+    got = [r["j"] for r in df.select(wj("a", "b").alias("j")).collect()]
+
+    def brute(a, b):
+        ca = collections.Counter(re.findall(r"[0-9A-Za-z_]+", a))
+        cb = collections.Counter(re.findall(r"[0-9A-Za-z_]+", b))
+        toks = set(ca) | set(cb)
+        smin = sum(min(ca[t], cb[t]) for t in toks)
+        smax = sum(max(ca[t], cb[t]) for t in toks)
+        return smin / smax if smax else 1.0
+
+    for (a, b), g in zip(pairs, got):
+        assert abs(g - brute(a, b)) < 1e-12, (a[:20], b[:20], g, brute(a, b))
