@@ -84,9 +84,13 @@ def probminhash3a_batch(
     vals = np.full(ndocs * m, np.inf, dtype=np.float64)
 
     if hasher == "sha":
-        # ProbMinHash3aSha (S6): digest words ARE the rng state, and the
-        # first digest word is the item identity carried in the signature
-        # (probminhash3sha.rs:106-114) — batched via sha512_256_states
+        # ProbMinHash3aSha (S6): digest words ARE the rng state
+        # (probminhash3sha.rs:106-114).  Documented deviation: the reference
+        # carries the ORIGINAL key in the signature (`self.signature[k] =
+        # key.clone()`; the digest only seeds the rng) — a u64-slot Spark
+        # signature cannot hold arbitrary keys, so the first digest word is
+        # carried instead.  Slot-EQUALITY semantics (all jaccard.rs:9-19
+        # needs) are preserved: equal keys <=> equal digests w.h.p.
         from .hashes import sha512_256_states
 
         state, ident = sha512_256_states(item_hash)
@@ -134,9 +138,11 @@ def probminhash3a_sha_single(byte_keys, weights, m):
     """ProbMinHash3aSha (S6, ``probminhash3sha.rs:87-167``): arbitrary-length
     byte keys seed the per-item rng with SHA-512/256 of the key bytes
     (``sig.rs:12-15`` + ``probminhash3sha.rs:106-114``) — the stable-across-
-    languages identity regime.  The item identity carried in the signature is
-    the first 8 bytes of the digest (injective w.h.p.); slot equality
-    semantics are unchanged (``jaccard.rs:9-19``).
+    languages identity regime.  Documented deviation: the reference stores
+    the original key itself in the signature (the digest only seeds the
+    rng); here the first digest word is carried instead (injective w.h.p.),
+    so signatures are not byte-compatible with the reference's, but slot
+    equality semantics — all ``jaccard.rs:9-19`` needs — are unchanged.
 
     Parity-scale helper (hashlib per key); the production path pre-hashes
     shingles to u64 instead.

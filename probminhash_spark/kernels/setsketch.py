@@ -253,11 +253,14 @@ def setsketch_jaccard_mle(
         left = f1 < f2
         hi = np.where(left, x2, hi)
         lo = np.where(left, lo, x1)
-        x1n = hi - gr * (hi - lo)
-        x2n = lo + gr * (hi - lo)
-        # reuse the surviving interior evaluation, compute only the new point
-        x1, x2 = x1n, x2n
-        f1, f2 = cost(x1), cost(x2)
+        # standard golden-section recurrence: the surviving interior point
+        # becomes the far point of the new bracket (left: x2' = x1, f2' = f1;
+        # right: x1' = x2, f1' = f2) and ONE new point is evaluated per
+        # iteration — half the likelihood evaluations of re-evaluating both.
+        x_new = np.where(left, hi - gr * (hi - lo), lo + gr * (hi - lo))
+        f_new = cost(x_new)
+        x1, x2 = np.where(left, x_new, x2), np.where(left, x1, x_new)
+        f1, f2 = np.where(left, f_new, f2), np.where(left, f1, f_new)
     out = (lo + hi) / 2.0
     return out if np.asarray(regs_a).ndim > 1 else float(out[0])
 

@@ -133,10 +133,23 @@ def cardinality_prefilter(
     docs (left-semi first — at scale that subset is << the corpus), and the
     cutoff carries a 6x-relative-std margin so estimator noise can only
     ADMIT extra pairs, never drop a true one (conservative-superset
-    invariant)."""
+    invariant).
+
+    DISTINCT-SET configs only: the bound J <= min/max holds for set Jaccard
+    but NOT for the weighted (multiset) Jaccard — A={t x100} vs
+    B={t x100, 100 singletons} has J_w = 0.5 yet a distinct-cardinality
+    ratio of ~0.01, so the filter would wrongly drop a true pair.  Weighted
+    configs must not call this (dedup_edges skips it; calling directly
+    raises)."""
     import math
 
     from ..kernels.setsketch import SetSketchParams
+
+    if cfg.weighted:
+        raise ValueError(
+            "cardinality_prefilter is unsound for weighted (multiset) Jaccard: "
+            "min/max distinct-cardinality ratio does not bound J_w"
+        )
 
     card_udf = make_cardinality_udf(cfg)
     p = SetSketchParams(m=cfg.setsketch_m)
@@ -281,7 +294,9 @@ def dedup_edges(
             )
     elif on_capped != "star":  # pragma: no cover
         raise ValueError(f"bad on_capped {on_capped!r}")
-    if cfg.cardinality_prefilter:
+    # weighted configs skip the prefilter: the size-ratio bound only holds
+    # for distinct-set Jaccard (see cardinality_prefilter docstring)
+    if cfg.cardinality_prefilter and not cfg.weighted:
         pairs = cardinality_prefilter(
             pairs, docs.select(id_col, content_col), cfg, id_col, content_col
         )

@@ -168,8 +168,14 @@ def extract_features(
                         meta = pdf["meta"].iloc[i]  # pragma: no cover
                         img = _decode_image_real(p, meta["width"], meta["height"])
                         feats[i] = _image_features(img, n_features)
-                except (ValueError, EOFError):
-                    pass  # malformed media: keep the byte-stat fallback
+                except Exception:  # noqa: BLE001 — malformed media keep the fallback
+                    # deliberately broad: stdlib wave raises wave.Error (a
+                    # RuntimeError subclass), bare RuntimeError (truncated
+                    # chunks), and struct.error depending on HOW the payload
+                    # is malformed — a payload that sniffs as media but
+                    # doesn't decode must degrade to byte stats, never crash
+                    # the job.
+                    pass
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -318,6 +318,46 @@ def test_cardinality_prefilter_drops_mismatched_keeps_similar(spark):
     assert (1, 3) not in kept  # 400-token vs 20k-token can never reach J=0.8
 
 
+def test_cardinality_prefilter_refuses_weighted_configs(spark):
+    """min/max distinct-cardinality does NOT bound weighted Jaccard (a pair
+    with one hot repeated token can have J_w=0.5 at card ratio 0.01), so the
+    prefilter must refuse weighted configs and dedup_edges must skip it."""
+    import dataclasses
+
+    import pandas as pd
+    import pytest
+
+    from probminhash_spark.operators.dedup import cardinality_prefilter
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "content": ["a b", "a c"]})
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id_l": [1], "id_r": [2]}))
+    wcfg = DedupConfig(weighted=True, algo="probminhash3a", cardinality_prefilter=True)
+    with pytest.raises(ValueError, match="unsound for weighted"):
+        cardinality_prefilter(pairs, docs, wcfg)
+    # the e2e path silently skips it for weighted configs: the weighted
+    # regime from the oracle suite must keep its J_w=0.5-style pairs
+    hot = "t " * 200  # J_w = 200/300 = 2/3, distinct-card ratio 1/101
+    tail = " ".join(f"s{i}" for i in range(100))
+    wdocs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "content": [hot.strip(), (hot + tail).strip()]})
+    )
+    cfg = dataclasses.replace(
+        wcfg,
+        shingle_mode="token",
+        shingle_size=1,
+        threshold=0.4,
+        est_low_cut=0.2,
+        bands=64,
+        rows=2,
+        num_hashes=128,
+    )
+    edges = dedup_edges(wdocs, cfg).collect()
+    got = {(r["id_l"], r["id_r"]) for r in edges}
+    assert (1, 2) in got, "weighted J_w=0.5 pair must survive (prefilter skipped)"
+
+
 def test_recall_with_cardinality_prefilter_enabled(spark, tiny_corpus, spark_files):
     """With the SetSketch size-ratio prefilter enabled, recall must hold
     (the 6-sigma margin keeps the filter a conservative superset)."""

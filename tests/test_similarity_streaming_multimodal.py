@@ -325,6 +325,9 @@ def test_real_bmp_and_wav_decode(spark):
         (2, "audio", wav, (None, None, 16000, None, "pcm")),
         (3, "image", b"\x89PNG fake compressed", (4, 4, None, None, "png")),
         (4, "image", b"BMbroken", (2, 2, None, None, "bmp")),  # malformed
+        # sniffs as WAV but isn't PCM: wave.open raises wave.Error (a
+        # RuntimeError subclass, NOT ValueError) — must fall back, not crash
+        (5, "audio", b"RIFF0000WAVE this is just utf-8 text", (None, None, None, None, "?")),
     ]
     media = spark.createDataFrame(
         rows,
@@ -336,6 +339,7 @@ def test_real_bmp_and_wav_decode(spark):
     assert np.allclose(feats[1], _image_features(img, 16), atol=1e-5)
     assert np.allclose(feats[2], _audio_features(dec, 16), atol=1e-5)
     assert feats[3].shape == (16,) and feats[4].shape == (16,)  # fallbacks
+    assert feats[5].shape == (16,)  # wave.Error payload degraded to fallback
 
 
 def test_windowed_counts_watermark_drops_late_data(spark, tmp_path):
