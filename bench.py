@@ -74,6 +74,7 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
+    sha_kps = _sha_kernel_throughput()
     total = round(sum(t for t in timings.values() if t > 0), 3)
     lsh_t = timings.get("dedup_minhash_lsh", 0)
     files_per_sec = round(n_docs / lsh_t, 1) if lsh_t and lsh_t > 0 else 0.0
@@ -87,7 +88,29 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
         "dedup_files_per_sec": files_per_sec,
         "n_documents": n_docs,
         "cpus": int(cpus),
+        "sha512_256_cold_keys_per_sec": sha_kps["cold"],
+        "sha512_256_warm_keys_per_sec": sha_kps["warm"],
     }
+
+
+def _sha_kernel_throughput(n: int = 200_000) -> dict:
+    """Single-core throughput of the vectorized SHA-512/256 identity kernel
+    (S6): cold = fresh keys through the lane-vectorized compression; warm =
+    repeat keys resolved from the searchsorted digest cache."""
+    import numpy as np
+
+    from probminhash_spark.kernels.hashes import sha512_256_states
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+    sha512_256_states(keys[:1000])  # page warm-up
+    t0 = time.time()
+    sha512_256_states(keys)
+    cold = time.time() - t0
+    t0 = time.time()
+    sha512_256_states(keys)
+    warm = time.time() - t0
+    return {"cold": round(n / cold), "warm": round(n / warm)}
 
 
 def _scaling_corpus(n_files: int) -> str:

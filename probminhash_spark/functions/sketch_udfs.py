@@ -48,9 +48,30 @@ def _sketch_batch_np(texts, cfg: DedupConfig) -> np.ndarray:
         d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
         _, sig = optdens_minhash_batch(d, h, ndocs, cfg.num_hashes, cfg.hasher)
     elif cfg.algo == "probminhash3a":
-        d, h, c = _shingle_multiset(texts, cfg)
-        w = c.astype(np.float64) if cfg.weighted else np.ones(d.shape[0])
-        sig, _ = probminhash3a_batch(d, h, w, ndocs, cfg.num_hashes, cfg.hasher)
+        if cfg.hasher == "sha" and cfg.shingle_mode == "char":
+            # ProbMinHash3aSha raw-byte identity (S6): digest the shingle's
+            # OWN utf-8 bytes (sig.rs:12-15, probminhash3sha.rs:106-114) via
+            # one representative span per unique (doc, shingle) — identity
+            # does not pass through the u64 poly-hash bottleneck.  Char mode
+            # only: a char k-gram's span bytes ARE its key; token w-shingles
+            # hash the token-hash sequence (separator-insensitive), so their
+            # raw span is NOT a canonical key byte form — token+sha keeps the
+            # documented digest-of-u64 regime below.
+            from ..kernels.hashes import sha512_256_states_raw
+
+            di, hi, s0, l0, buf = shingle_batch(
+                texts, cfg.shingle_mode, cfg.shingle_size, return_spans=True
+            )
+            d, h, c, rep = dedupe_counts(di, hi, return_rep=True)
+            states = sha512_256_states_raw(buf, s0[rep], l0[rep], h)
+            w = c.astype(np.float64) if cfg.weighted else np.ones(d.shape[0])
+            sig, _ = probminhash3a_batch(
+                d, h, w, ndocs, cfg.num_hashes, cfg.hasher, sha_states=states
+            )
+        else:
+            d, h, c = _shingle_multiset(texts, cfg)
+            w = c.astype(np.float64) if cfg.weighted else np.ones(d.shape[0])
+            sig, _ = probminhash3a_batch(d, h, w, ndocs, cfg.num_hashes, cfg.hasher)
     elif cfg.algo == "probminhash2":
         from ..kernels.probminhash2 import probminhash2_batch
 

@@ -60,6 +60,7 @@ def probminhash3a_batch(
     m: int,
     hasher: str = "nohash",
     max_rounds: int = 100_000,
+    sha_states: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Weighted sketches for a batch of docs -> (signature u64 (ndocs,m),
     slot values f64 (ndocs,m)).
@@ -68,6 +69,11 @@ def probminhash3a_batch(
     the object itself, ``probminhash3.rs:51``; equality semantics only need
     ``PartialEq``, ``jaccard.rs:9-19``, so the hash is an equivalent carrier).
     Empty docs keep the init fill (0, +inf) like ``initobj``.
+
+    ``sha_states``: optional precomputed (states (n,4), ident (n,)) for the
+    sha regime — the raw-byte identity path passes digests of the shingle
+    BYTES here (``sha512_256_states_raw``) so identity doesn't pass through
+    the u64 poly-hash bottleneck.  Must be aligned with ``item_hash`` rows.
     """
     assert m >= 2, "nbhash must be >= 2 (probminhash3.rs:64)"
     doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
@@ -75,6 +81,8 @@ def probminhash3a_batch(
     keep = weights > 0.0  # zero-weight items skipped (probminhash3.rs:443-447)
     if not keep.all():
         doc_idx, item_hash, weights = doc_idx[keep], item_hash[keep], weights[keep]
+        if sha_states is not None:
+            sha_states = (sha_states[0][keep], sha_states[1][keep])
     item_hash = np.ascontiguousarray(item_hash, dtype=U64)
 
     lam = np.log(m / (m - 1.0))
@@ -83,7 +91,9 @@ def probminhash3a_batch(
     sig = np.zeros((ndocs, m), dtype=U64)
     vals = np.full(ndocs * m, np.inf, dtype=np.float64)
 
-    if hasher == "sha":
+    if sha_states is not None:
+        state, item_ident = sha_states
+    elif hasher == "sha":
         # ProbMinHash3aSha (S6): digest words ARE the rng state
         # (probminhash3sha.rs:106-114).  Documented deviation: the reference
         # carries the ORIGINAL key in the signature (`self.signature[k] =

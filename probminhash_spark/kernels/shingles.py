@@ -46,11 +46,17 @@ def _poly_powers(n: int) -> tuple[np.ndarray, np.ndarray]:
     return pw, pw_inv
 
 
-def char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+def char_shingles(
+    texts, k: int, return_spans: bool = False
+) -> tuple[np.ndarray, ...]:
     """All char k-gram hashes of a batch -> (doc_idx int64, hash u64).
 
     Windows never cross document boundaries.  Documents shorter than ``k``
     contribute a single whole-content shingle so no row is silently dropped.
+
+    With ``return_spans`` also returns (span_start, span_len, buf): the raw
+    utf-8 byte slice each shingle hashes — the byte-key identity the
+    ProbMinHash3aSha regime digests (``sig.rs:12-15``).
     """
     buf, doc_of_byte, offsets = _flatten(texts)
     n = buf.shape[0]
@@ -58,10 +64,12 @@ def char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     if n == 0:
         # all-empty batch: each doc still gets its whole-content (empty)
         # shingle, consistent with the len<k branch below
-        return (
-            np.arange(ndocs, dtype=np.int64),
-            mix64(np.zeros(ndocs, dtype=U64)),
-        )
+        d = np.arange(ndocs, dtype=np.int64)
+        h = mix64(np.zeros(ndocs, dtype=U64))
+        if return_spans:
+            z = np.zeros(ndocs, dtype=np.int64)
+            return d, h, z, z.copy(), buf
+        return d, h
     pw, pw_inv = _poly_powers(n)
     with np.errstate(**_err):
         # byte+1 so NUL bytes contribute (a doc 'a' and 'a\x00\x00' must not
@@ -77,9 +85,12 @@ def char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
             win = (prefix[starts + k] - prefix[starts]) * pw_inv[starts]
         hashes = mix64(win)
         doc_idx = doc_of_byte[starts]
+        span_len = np.full(starts.size, k, dtype=np.int64)
     else:
         hashes = np.empty(0, dtype=U64)
         doc_idx = np.empty(0, dtype=np.int64)
+        starts = np.empty(0, dtype=np.int64)
+        span_len = np.empty(0, dtype=np.int64)
     # short docs (len < k): one whole-content shingle
     lens = offsets[1:] - offsets[:-1]
     short = np.nonzero(lens < k)[0]
@@ -89,15 +100,25 @@ def char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
             win = (prefix[e] - prefix[s]) * pw_inv[s]
         hashes = np.concatenate([hashes, mix64(win)])
         doc_idx = np.concatenate([doc_idx, short])
+        starts = np.concatenate([starts, s])
+        span_len = np.concatenate([span_len, e - s])
+    if return_spans:
+        return doc_idx, hashes, starts, span_len, buf
     return doc_idx, hashes
 
 
-def token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Hash every ``[A-Za-z0-9_]+`` token of a batch -> (doc_idx, hash)."""
+def token_hashes(texts, return_spans: bool = False) -> tuple[np.ndarray, ...]:
+    """Hash every ``[A-Za-z0-9_]+`` token of a batch -> (doc_idx, hash).
+
+    With ``return_spans`` also returns (tok_start, tok_end, buf): byte spans
+    of each token in the flattened utf-8 buffer."""
     buf, doc_of_byte, offsets = _flatten(texts)
     n = buf.shape[0]
     if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=U64)
+        e = np.empty(0, dtype=np.int64)
+        if return_spans:
+            return e, np.empty(0, dtype=U64), e.copy(), e.copy(), buf
+        return e, np.empty(0, dtype=U64)
     is_word = (
         ((buf >= 0x30) & (buf <= 0x39))
         | ((buf >= 0x41) & (buf <= 0x5A))
@@ -112,7 +133,10 @@ def token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     starts_mask = is_word & ~prev_word
     tok_starts = np.nonzero(starts_mask)[0]
     if tok_starts.size == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=U64)
+        e = np.empty(0, dtype=np.int64)
+        if return_spans:
+            return e, np.empty(0, dtype=U64), e.copy(), e.copy(), buf
+        return e, np.empty(0, dtype=U64)
     pw, pw_inv = _poly_powers(n)
     with np.errstate(**_err):
         contrib = np.where(is_word, buf.astype(U64) + U64(1), U64(0)) * pw[:n]
@@ -124,14 +148,25 @@ def token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     tok_ends = np.nonzero(is_word & ~next_word)[0] + 1
     with np.errstate(**_err):
         th = (prefix[tok_ends] - prefix[tok_starts]) * pw_inv[tok_starts]
+    if return_spans:
+        return doc_of_byte[tok_starts], mix64(th), tok_starts, tok_ends, buf
     return doc_of_byte[tok_starts], mix64(th)
 
 
-def token_shingles(texts, w: int) -> tuple[np.ndarray, np.ndarray]:
-    """Token w-shingle hashes (sliding windows of ``w`` tokens) per doc."""
-    doc_idx, th = token_hashes(texts)
+def token_shingles(
+    texts, w: int, return_spans: bool = False
+) -> tuple[np.ndarray, ...]:
+    """Token w-shingle hashes (sliding windows of ``w`` tokens) per doc.
+
+    With ``return_spans`` also returns (span_start, span_len, buf): the raw
+    byte slice from the window's first token start to its last token end
+    (separators included) — the byte-key identity for the sha regime."""
+    doc_idx, th, tok_s, tok_e, buf = token_hashes(texts, return_spans=True)
     n = th.shape[0]
     if n == 0:
+        if return_spans:
+            e = np.empty(0, dtype=np.int64)
+            return doc_idx, th, e, e.copy(), buf
         return doc_idx, th
     pw, pw_inv = _poly_powers(n)
     with np.errstate(**_err):
@@ -146,9 +181,13 @@ def token_shingles(texts, w: int) -> tuple[np.ndarray, np.ndarray]:
             win = (prefix[starts + w] - prefix[starts]) * pw_inv[starts]
         out_hash = mix64(win)
         out_doc = doc_idx[starts]
+        span_s = tok_s[starts]
+        span_l = tok_e[starts + w - 1] - span_s
     else:
         out_hash = np.empty(0, dtype=U64)
         out_doc = np.empty(0, dtype=np.int64)
+        span_s = np.empty(0, dtype=np.int64)
+        span_l = np.empty(0, dtype=np.int64)
     # docs with fewer than w tokens: one shingle over all their tokens
     tok_counts = np.bincount(doc_idx, minlength=int(doc_idx.max()) + 1 if doc_idx.size else 0)
     short_docs = np.nonzero((tok_counts > 0) & (tok_counts < w))[0]
@@ -159,29 +198,42 @@ def token_shingles(texts, w: int) -> tuple[np.ndarray, np.ndarray]:
             win = (prefix[doc_tok_end] - prefix[doc_tok_start]) * pw_inv[doc_tok_start]
         out_hash = np.concatenate([out_hash, mix64(win)])
         out_doc = np.concatenate([out_doc, short_docs])
+        span_s = np.concatenate([span_s, tok_s[doc_tok_start]])
+        span_l = np.concatenate([span_l, tok_e[doc_tok_end - 1] - tok_s[doc_tok_start]])
+    if return_spans:
+        return out_doc, out_hash, span_s, span_l, buf
     return out_doc, out_hash
 
 
-def shingle_batch(texts, mode: str, size: int) -> tuple[np.ndarray, np.ndarray]:
+def shingle_batch(
+    texts, mode: str, size: int, return_spans: bool = False
+) -> tuple[np.ndarray, ...]:
     """Dispatch on config: ``mode in {'char','token'}``, ``size`` = k or w."""
     if mode == "char":
-        return char_shingles(texts, size)
+        return char_shingles(texts, size, return_spans)
     if mode == "token":
-        return token_shingles(texts, size)
+        return token_shingles(texts, size, return_spans)
     raise ValueError(f"unknown shingle mode {mode!r}")
 
 
 def dedupe_counts(
-    doc_idx: np.ndarray, hashes: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    doc_idx: np.ndarray, hashes: np.ndarray, return_rep: bool = False
+) -> tuple[np.ndarray, ...]:
     """Multiset -> (doc_idx, unique hash, multiplicity), sorted by doc then hash.
 
     This is the weighted-set encoding the reference consumes
     (``IndexMap<D, F>``, ``probminhash3.rs:133-145``): object -> weight, with
     key uniqueness enforced before ``hash_item`` is called.
+
+    With ``return_rep`` also returns, per unique (doc, hash), the index of
+    one representative occurrence in the INPUT arrays — used to recover the
+    raw byte span of a shingle for the sha identity regime.
     """
     if doc_idx.size == 0:
-        return doc_idx, hashes, np.empty(0, dtype=np.int64)
+        empty = np.empty(0, dtype=np.int64)
+        if return_rep:
+            return doc_idx, hashes, empty, empty.copy()
+        return doc_idx, hashes, empty
     order = np.lexsort((hashes, doc_idx))
     d, h = doc_idx[order], hashes[order]
     new = np.empty(d.shape[0], dtype=bool)
@@ -189,4 +241,6 @@ def dedupe_counts(
     new[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
     starts = np.nonzero(new)[0]
     counts = np.diff(np.append(starts, d.shape[0]))
+    if return_rep:
+        return d[starts], h[starts], counts.astype(np.int64), order[starts]
     return d[starts], h[starts], counts.astype(np.int64)

