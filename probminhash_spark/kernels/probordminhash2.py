@@ -100,7 +100,7 @@ def probordminhash2_batch(
     ndocs: int,
     m: int,
     l: int = 2,
-    seed: int = 0x5EED,
+    seed: int | np.ndarray = 0x5EED,
     hasher: str = "nohash",
 ) -> np.ndarray:
     """Cross-doc vectorized ProbOrdMinHash2 -> (ndocs, m) u64 signatures.
@@ -116,6 +116,12 @@ def probordminhash2_batch(
 
     Inputs are flattened sequences: parallel (doc_idx sorted, item_hash in
     position order within each doc).  Docs must each have >= l items.
+
+    ``seed`` may be a scalar (one instance seed for all docs, the UDF path)
+    or an (ndocs,) array of per-doc instance seeds — the batch analogue of
+    the reference's ``change_rng_seed`` between ``hash_set`` calls
+    (``probordminhash2.rs`` test harness), which lets the histogram
+    acceptance tests run every iteration as one vectorized call.
     """
     assert l < 16
     doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
@@ -139,7 +145,9 @@ def probordminhash2_batch(
     occ = np.empty(n, dtype=np.int64)
     occ[order] = np.arange(n) - grp_start + 1
     # per-item rng lane seed — identical formula to hash_seq
-    lane_seed = combine64(id_hash, occ.astype(U64)) ^ U64(seed)
+    seed_arr = np.asarray(seed, dtype=U64)
+    seed_of_item = seed_arr if seed_arr.ndim == 0 else seed_arr[doc_idx]
+    lane_seed = combine64(id_hash, occ.astype(U64)) ^ seed_of_item
 
     g = m / (m - np.arange(1, m, dtype=np.float64))
     values = np.full((ndocs, m, l), np.inf)
@@ -196,7 +204,10 @@ def probordminhash2_batch(
     pos_sorted = np.sort(indices, axis=2)  # positions within doc
     flat = offsets[:-1][:, None, None] + pos_sorted
     h = id_hash[flat]  # (ndocs, m, l)
-    acc = np.broadcast_to(mix64(np.array([seed], dtype=U64)), (ndocs, m)).copy()
+    if seed_arr.ndim == 0:
+        acc = np.broadcast_to(mix64(seed_arr.reshape(1)), (ndocs, m)).copy()
+    else:
+        acc = np.broadcast_to(mix64(seed_arr)[:, None], (ndocs, m)).copy()
     for j in range(l):
         acc = combine64(acc, h[:, :, j])
     return acc
