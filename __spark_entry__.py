@@ -727,6 +727,39 @@ def sketch_superminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalarize_sig(out, "sig")
 
 
+def sketch_superminhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuperMinHash float hsketch values (S12, ``superminhasher.rs:163-166``)
+    — the reference's ``Vec<F>`` sketch surface (values in [0, m)), exposed
+    as array<double> alongside the winner-hash banding signature; j_est
+    between two docs = native zip_with equal-slot fraction on these floats.
+    Rows-only (sketch-valued)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.functions.sketch_udfs import make_superminhash_values_udf
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(algo="superminhash", num_hashes=64, bands=16, rows=4)
+    hsk = make_superminhash_values_udf(cfg)
+    out = (
+        _par(spark.table("documents"))
+        .select("doc_id", hsk(F.col("text")).alias("hsketch"))
+        .orderBy("doc_id")
+    )
+    # scalar-encode for the driver hash: fixed 6-decimal rendering (values
+    # are sums of uniforms in [0, m) — 1e-6 is far below slot separation)
+    return out.select(
+        "doc_id",
+        F.size("hsketch").cast("bigint").alias("hsketch_len"),
+        F.concat_ws(
+            "-",
+            F.expr(
+                "transform(hsketch, x -> format_number(x, '0.000000'))"
+            ),
+        ).alias("hsketch_str"),
+    )
+
+
 def sketch_signatures_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProbMinHash3aSha signatures (S6, ``probminhash3sha.rs:87-167``):
     sha512_256-digested item identity, the reference's stable-across-languages
@@ -1070,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_signatures": sketch_signatures,
         "sketch_signatures_sha": sketch_signatures_sha,
         "sketch_superminhash": sketch_superminhash,
+        "sketch_superminhash_values": sketch_superminhash_values,
         "sketch_superminhash2": sketch_superminhash2,
         "sketch_probminhash2": sketch_probminhash2,
         "sketch_revoptdens": sketch_revoptdens,

@@ -134,6 +134,33 @@ def make_sketch_udf(cfg: DedupConfig):
     return sketch
 
 
+def make_superminhash_values_udf(cfg: DedupConfig):
+    """content -> the reference's float hsketch ``Vec<F>`` (values in
+    [0, m), ``superminhasher.rs:163-166``) as ``array<double>`` — the S12
+    surface the banding path doesn't expose (it emits winner item hashes,
+    an a.s.-equivalent identity: the per-item permutation and values are
+    deterministic functions of the item, so winner equality <=> value
+    equality almost surely).  Use the native zip_with equal-slot estimator
+    on the float arrays for the reference's J estimate
+    (``superminhasher.rs:278-302``)."""
+    if cfg.algo != "superminhash":
+        raise ValueError(
+            f"float hsketch values are a SuperMinHash surface (algo="
+            f"{cfg.algo!r}); use make_sketch_udf for winner-hash signatures"
+        )
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def hsketch(content: pd.Series) -> pd.Series:
+        texts = content.fillna("").tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
+        vals, _ = superminhash_batch(d, h, len(texts), cfg.num_hashes, cfg.hasher)
+        return pd.Series(list(vals))
+
+    return hsketch
+
+
 def make_cardinality_udf(cfg: DedupConfig):
     """content -> estimated distinct-shingle count (SetSketch S16/S18).
 
