@@ -478,8 +478,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (Manku et al. block join +
-    native bit_count verify) — rows-only (the fingerprint hash function is
-    not SQL-expressible); planted-pair recall asserted in pytest."""
+    native bit_count verify).  Oracle: brute-force bit_count filter over
+    DuckDB-replayed fingerprints (_dedup_simhash_duck_sql) — the block join
+    is recall-complete for d <= max_hamming by pigeonhole, so outputs
+    coincide; planted-pair recall additionally asserted in pytest."""
     from probminhash_spark.config import DedupConfig
     from probminhash_spark.operators.dedup import simhash_dup_pairs
 
@@ -859,7 +861,10 @@ def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sketch_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (near-dup fingerprint family)."""
+    """64-bit SimHash per document (near-dup fingerprint family).  Oracle:
+    full DuckDB replay of the fingerprint math (_simhash_duck_sql) — poly
+    byte hash, double SplitMix64 finalize, sign-packed bit votes — in
+    HUGEINT-emulated wrapping u64 arithmetic."""
     import pyspark.sql.functions as F
 
     from probminhash_spark.config import DedupConfig
@@ -1160,6 +1165,108 @@ def _lang_id_duck_sql() -> str:
     """
 
 
+def _simhash_duck_sql(order_by: bool = True) -> str:
+    """DuckDB bit-exact replay of make_simhash_udf over token shingles
+    (shingle_mode='token', size=1): same tokenization as the byte classifier
+    (word bytes + every byte >= 0x80), FNV-prime polynomial byte hash
+    (byte+1 contributions, wrapping mod 2^64), SplitMix64 finalizer applied
+    TWICE (token_hashes then token_shingles w=1), per-(doc, shingle)
+    multiplicities, +/-count per bit, sign-packed into a signed 64-bit
+    fingerprint.  Wrapping u64 arithmetic is emulated in HUGEINT with an
+    explicit mod and 32-bit-split multiplication."""
+    M64 = "18446744073709551616"
+    P = 0x100000001B3
+    MIX1, MIX2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(a: str, c: int) -> str:
+        c_lo, c_hi = c % (1 << 32), c >> 32
+        return (
+            f"((({a}) % 4294967296) * {c_lo} + "
+            f"(((({a}) % 4294967296) * {c_hi} + (({a}) // 4294967296) * {c_lo})"
+            f" % 4294967296) * 4294967296) % {M64}"
+        )
+
+    def xorshift(a: str, k: int) -> str:
+        return (
+            f"CAST(xor(CAST(({a}) AS UBIGINT), "
+            f"CAST((({a}) // {1 << k}) AS UBIGINT)) AS HUGEINT)"
+        )
+
+    pow2 = ",".join(str(1 << i) for i in range(64))
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 UNNEST(regexp_extract_all(text,
+                     '[0-9A-Za-z_\\x{{0080}}-\\x{{10ffff}}]+')) AS tok
+          FROM documents
+        ),
+        tok_bytes AS (
+          SELECT doc_id, hex(encode(tok)) AS hx,
+                 octet_length(encode(tok)) AS nb
+          FROM toks
+        ),
+        poly AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS HUGEINT),
+                list_transform(range(CAST(nb AS BIGINT), 0, -1), j ->
+                  CAST(16 * (strpos('0123456789ABCDEF',
+                                    substr(hx, 2*CAST(j AS INT)-1, 1)) - 1)
+                       + (strpos('0123456789ABCDEF',
+                                 substr(hx, 2*CAST(j AS INT), 1)) - 1)
+                       + 1 AS HUGEINT))),
+              (acc, b) -> (({mulmod('acc', P)}) + b) % {M64}
+            ) AS h0
+          FROM tok_bytes
+        ),
+        ma1 AS (SELECT doc_id, {xorshift('h0', 30)} AS z FROM poly),
+        ma2 AS (SELECT doc_id, {mulmod('z', MIX1)} AS z FROM ma1),
+        ma3 AS (SELECT doc_id, {xorshift('z', 27)} AS z FROM ma2),
+        ma4 AS (SELECT doc_id, {mulmod('z', MIX2)} AS z FROM ma3),
+        th  AS (SELECT doc_id, {xorshift('z', 31)} AS z FROM ma4),
+        mb1 AS (SELECT doc_id, {xorshift('z', 30)} AS z FROM th),
+        mb2 AS (SELECT doc_id, {mulmod('z', MIX1)} AS z FROM mb1),
+        mb3 AS (SELECT doc_id, {xorshift('z', 27)} AS z FROM mb2),
+        mb4 AS (SELECT doc_id, {mulmod('z', MIX2)} AS z FROM mb3),
+        sh  AS (SELECT doc_id, {xorshift('z', 31)} AS sh FROM mb4),
+        counts AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh),
+        bits AS (
+          SELECT doc_id, CAST(i AS INT) AS i,
+                 SUM(CASE WHEN ((sh // list_element([{pow2}],
+                                 CAST(i AS INT) + 1)) % 2) = 1
+                          THEN c ELSE -c END) AS acc
+          FROM counts CROSS JOIN range(64) t(i)
+          GROUP BY doc_id, i
+        ),
+        packed AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN acc > 0
+                     THEN CAST(list_element([{pow2}], i + 1) AS HUGEINT)
+                     ELSE 0 END) AS pk
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(CASE WHEN p.pk >= {1 << 63} THEN p.pk - {M64}
+                             ELSE p.pk END, 0) AS BIGINT) AS simhash64
+        FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+    """
+    return sql + ("ORDER BY d.doc_id" if order_by else "")
+
+
+def _dedup_simhash_duck_sql() -> str:
+    """Brute-force Hamming-ball oracle over the replayed fingerprints: the
+    Manku block join is recall-complete for d <= max_hamming (pigeonhole),
+    so the LSH output equals all-pairs bit_count filtering."""
+    return f"""
+        WITH fp AS ({_simhash_duck_sql(order_by=False)})
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+        ORDER BY id_l, id_r
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "q1_pricing_summary": """
@@ -1326,6 +1433,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": _COSINE_DUCK,
         "lang_id_heuristic": _lang_id_duck_sql(),
+        "sketch_simhash": _simhash_duck_sql(),
+        "dedup_simhash": _dedup_simhash_duck_sql(),
         # ann_cosine_topk_lsh: intentionally no oracle — approximate top-k of
         # arbitrary-distance neighbors has no recall guarantee, so the driver
         # records the rows-only check; accuracy vs brute force is asserted in
