@@ -291,6 +291,32 @@ def test_substring_dup_pairs_planted(spark):
     assert planted <= got
 
 
+def test_ensure_parallelism_is_plan_side(spark, tmp_path):
+    """The parallelism guard must not convert the plan to an RDD (no .rdd):
+    single small files fan out, caller-chosen repartitions are trusted,
+    fileless plans repartition unconditionally."""
+    import inspect
+
+    import pandas as pd
+
+    from probminhash_spark.operators import dedup as dedup_mod
+    from probminhash_spark.operators.dedup import ensure_parallelism
+
+    assert ".rdd" not in inspect.getsource(dedup_mod)
+
+    p = str(tmp_path / "one.parquet")
+    pd.DataFrame({"a": range(50), "text": ["x"] * 50}).to_parquet(p)
+    scan = spark.read.parquet(p)
+    fanned = ensure_parallelism(scan)
+    assert "Repartition" in fanned._jdf.queryExecution().analyzed().toString()
+
+    forced = spark.read.parquet(p).repartition(16)
+    assert ensure_parallelism(forced) is forced  # caller's choice respected
+
+    mem = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3]}))
+    assert ensure_parallelism(mem) is not mem
+
+
 def test_cardinality_prefilter_drops_mismatched_keeps_similar(spark):
     """The size-ratio prefilter must drop pairs whose estimated cardinality
     ratio cannot reach threshold, and must NEVER drop a true near-dup
