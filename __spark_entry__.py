@@ -941,7 +941,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sketch_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al.) — rows-only."""
+    """Winnowing document fingerprints (Schleimer et al.).  Oracle:
+    bit-exact DuckDB replay (_fingerprint_duck_sql) — byte-level k-gram poly
+    hashes, SplitMix64 finalize, windowed minima, distinct + unsigned-sorted
+    per doc."""
     import pyspark.sql.functions as F
 
     from probminhash_spark.functions.sketch_udfs import make_fingerprint_udf
@@ -1165,6 +1168,115 @@ def _lang_id_duck_sql() -> str:
     """
 
 
+# --- wrapping-u64 arithmetic emulation for DuckDB oracles ------------------
+# DuckDB errors on integer overflow, so the engine's u64 hash math (poly byte
+# hash, SplitMix64 finalizer) is replayed in HUGEINT with explicit mod 2^64
+# and 32-bit-split multiplication; xor/shift run through UBIGINT.
+
+_M64 = "18446744073709551616"
+_POLY_P = 0x100000001B3
+_MIX1, _MIX2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+
+def _duck_mulmod(a: str, c: int) -> str:
+    """(a * c) mod 2^64 over HUGEINT: 32-bit split keeps every intermediate
+    product below 2^65."""
+    c_lo, c_hi = c % (1 << 32), c >> 32
+    return (
+        f"((({a}) % 4294967296) * {c_lo} + "
+        f"(((({a}) % 4294967296) * {c_hi} + (({a}) // 4294967296) * {c_lo})"
+        f" % 4294967296) * 4294967296) % {_M64}"
+    )
+
+
+def _duck_xorshift(a: str, k: int) -> str:
+    """a ^ (a >> k) for a < 2^64 held in HUGEINT."""
+    return (
+        f"CAST(xor(CAST(({a}) AS UBIGINT), "
+        f"CAST((({a}) // {1 << k}) AS UBIGINT)) AS HUGEINT)"
+    )
+
+
+def _duck_mix64_ctes(prefix: str, src: str, in_col: str, out_col: str, carry: str) -> str:
+    """CTE chain applying the SplitMix64 finalizer (kernels/rng.py:35-40) to
+    ``in_col`` of ``src``; emits 5 stages named {prefix}1..{prefix}5 with the
+    result as ``out_col``.  ``carry`` = extra columns to thread through."""
+    c = f"{carry}, " if carry else ""
+    return f"""
+        {prefix}1 AS (SELECT {c}{_duck_xorshift(in_col, 30)} AS z FROM {src}),
+        {prefix}2 AS (SELECT {c}{_duck_mulmod('z', _MIX1)} AS z FROM {prefix}1),
+        {prefix}3 AS (SELECT {c}{_duck_xorshift('z', 27)} AS z FROM {prefix}2),
+        {prefix}4 AS (SELECT {c}{_duck_mulmod('z', _MIX2)} AS z FROM {prefix}3),
+        {prefix}5 AS (SELECT {c}{_duck_xorshift('z', 31)} AS {out_col} FROM {prefix}4)"""
+
+
+def _fingerprint_duck_sql(k: int = 8, window: int = 16) -> str:
+    """DuckDB bit-exact replay of make_fingerprint_udf (winnowing, Schleimer
+    et al.): byte-level char k-gram poly hashes (via hex(encode(text)) so
+    multi-byte utf-8 matches the byte-domain kernel), one SplitMix64
+    finalize, sliding-window minima over ``window`` consecutive grams (docs
+    with fewer grams contribute their whole-doc min), distinct minima per
+    doc sorted ascending in UNSIGNED order, rendered exactly like
+    _scalarize_sig (len + '-'-joined signed i64 strings)."""
+    horner = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), list_reverse({lst})), "
+        f"(acc, b) -> (({_duck_mulmod('acc', _POLY_P)}) + b) % {_M64})"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb
+          FROM documents
+        ),
+        bytes AS (
+          SELECT doc_id, nb,
+            list_transform(range(CAST(nb AS BIGINT)), j ->
+              CAST(16 * (strpos('0123456789ABCDEF',
+                                substr(hx, 2*CAST(j AS INT)+1, 1)) - 1)
+                   + (strpos('0123456789ABCDEF',
+                             substr(hx, 2*CAST(j AS INT)+2, 1)) - 1)
+                   + 1 AS HUGEINT)) AS bv
+          FROM raw
+        ),
+        grams AS (
+          SELECT doc_id, nb,
+            CASE WHEN nb >= {k} THEN
+              list_transform(range(CAST(nb - {k} + 1 AS BIGINT)), s ->
+                {horner.format(lst=f"list_slice(bv, CAST(s AS INT) + 1, CAST(s AS INT) + {k})")})
+            ELSE [{horner.format(lst="bv")}]
+            END AS gs
+          FROM bytes
+        ),
+        gram_rows AS (
+          SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                 gs[CAST(t.i AS INT) + 1] AS h0, len(gs) AS n_grams
+          FROM grams CROSS JOIN LATERAL
+               (SELECT UNNEST(range(len(gs))) AS i) t
+        ),{_duck_mix64_ctes('fm', 'gram_rows', 'h0', 'g', 'doc_id, pos, n_grams')},
+        wins AS (
+          SELECT doc_id, pos, n_grams,
+                 MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin
+          FROM fm5
+        ),
+        mins AS (
+          SELECT doc_id, wmin FROM wins
+          WHERE n_grams >= {window} AND pos <= n_grams - {window}
+          UNION ALL
+          SELECT doc_id, MIN(g) AS wmin FROM fm5
+          WHERE n_grams < {window} GROUP BY doc_id
+        ),
+        uniq AS (SELECT DISTINCT doc_id, wmin FROM mins)
+        SELECT doc_id,
+               COUNT(*) AS fingerprint_len,
+               STRING_AGG(CAST(CAST(CASE WHEN wmin >= {1 << 63}
+                                         THEN wmin - {_M64} ELSE wmin END
+                               AS BIGINT) AS VARCHAR),
+                          '-' ORDER BY wmin) AS fingerprint_str
+        FROM uniq GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _simhash_duck_sql(order_by: bool = True) -> str:
     """DuckDB bit-exact replay of make_simhash_udf over token shingles
     (shingle_mode='token', size=1): same tokenization as the byte classifier
@@ -1173,25 +1285,9 @@ def _simhash_duck_sql(order_by: bool = True) -> str:
     TWICE (token_hashes then token_shingles w=1), per-(doc, shingle)
     multiplicities, +/-count per bit, sign-packed into a signed 64-bit
     fingerprint.  Wrapping u64 arithmetic is emulated in HUGEINT with an
-    explicit mod and 32-bit-split multiplication."""
-    M64 = "18446744073709551616"
-    P = 0x100000001B3
-    MIX1, MIX2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def mulmod(a: str, c: int) -> str:
-        c_lo, c_hi = c % (1 << 32), c >> 32
-        return (
-            f"((({a}) % 4294967296) * {c_lo} + "
-            f"(((({a}) % 4294967296) * {c_hi} + (({a}) // 4294967296) * {c_lo})"
-            f" % 4294967296) * 4294967296) % {M64}"
-        )
-
-    def xorshift(a: str, k: int) -> str:
-        return (
-            f"CAST(xor(CAST(({a}) AS UBIGINT), "
-            f"CAST((({a}) // {1 << k}) AS UBIGINT)) AS HUGEINT)"
-        )
-
+    explicit mod and 32-bit-split multiplication (shared helpers above)."""
+    M64, P, MIX1, MIX2 = _M64, _POLY_P, _MIX1, _MIX2
+    mulmod, xorshift = _duck_mulmod, _duck_xorshift
     pow2 = ",".join(str(1 << i) for i in range(64))
     sql = f"""
         WITH toks AS (
@@ -1435,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_heuristic": _lang_id_duck_sql(),
         "sketch_simhash": _simhash_duck_sql(),
         "dedup_simhash": _dedup_simhash_duck_sql(),
+        "sketch_fingerprints": _fingerprint_duck_sql(),
         # ann_cosine_topk_lsh: intentionally no oracle — approximate top-k of
         # arbitrary-distance neighbors has no recall guarantee, so the driver
         # records the rows-only check; accuracy vs brute force is asserted in
