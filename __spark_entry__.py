@@ -1072,6 +1072,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer byte stats over opaque binary payloads (iterator
+    mapInPandas, same zero-copy Arrow binary plumbing as multimodal feature
+    extraction).  Oracle: DuckDB replay of the chunked byte sums over
+    hex(encode(text)) — integers end-to-end, so the binary mapInPandas path
+    is hash-verified bit-for-bit (the float feature variant stays rows-only
+    because float32 rounding semantics differ across engines)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.operators.multimodal import extract_byte_stats
+
+    _load(spark, sf_dir, "documents")
+    media = spark.table("documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = extract_byte_stats(_par(media), n_chunks=8)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.concat_ws("-", F.col("chunk_sums").cast("array<string>")).alias(
+            "chunk_sums_str"
+        ),
+        "checksum",
+    ).orderBy("doc_id")
+
+
+def _multimodal_byte_stats_duck_sql(n_chunks: int = 8) -> str:
+    """DuckDB replay of extract_byte_stats: utf-8 byte values via
+    hex(encode(text)), np.array_split chunk sizing (first len%n chunks get
+    one extra byte), integer sums."""
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb
+          FROM documents
+        ),
+        bytes AS (
+          SELECT doc_id, nb,
+            list_transform(range(CAST(nb AS BIGINT)), j ->
+              CAST(16 * (strpos('0123456789ABCDEF',
+                                substr(hx, 2*CAST(j AS INT)+1, 1)) - 1)
+                   + (strpos('0123456789ABCDEF',
+                             substr(hx, 2*CAST(j AS INT)+2, 1)) - 1)
+               AS BIGINT)) AS bv
+          FROM raw
+        ),
+        chunks AS (
+          SELECT doc_id, nb,
+            list_transform(range({n_chunks}), j ->
+              COALESCE(list_aggregate(list_slice(bv,
+                CAST(j * (nb // {n_chunks}) + LEAST(j, nb % {n_chunks}) AS INT) + 1,
+                CAST((j + 1) * (nb // {n_chunks}) + LEAST(j + 1, nb % {n_chunks}) AS INT)),
+                'sum'), 0)) AS cs
+          FROM bytes
+        )
+        SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+               array_to_string(cs, '-') AS chunk_sums_str,
+               CAST(COALESCE(list_aggregate(cs, 'sum'), 0) AS BIGINT) AS checksum
+        FROM chunks ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1126,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_group_cardinality": sketch_group_cardinality,
         "sketch_group_jaccard": sketch_group_jaccard,
         "multimodal_features": multimodal_features,
+        "multimodal_byte_stats": multimodal_byte_stats,
     }
 
 
@@ -1532,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_simhash": _simhash_duck_sql(),
         "dedup_simhash": _dedup_simhash_duck_sql(),
         "sketch_fingerprints": _fingerprint_duck_sql(),
+        "multimodal_byte_stats": _multimodal_byte_stats_duck_sql(),
         # ann_cosine_topk_lsh: intentionally no oracle — approximate top-k of
         # arbitrary-distance neighbors has no recall guarantee, so the driver
         # records the rows-only check; accuracy vs brute force is asserted in

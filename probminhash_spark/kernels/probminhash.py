@@ -52,6 +52,22 @@ def _argmin_reduce(flat_keys, values, payload, size):
     return flat_keys[sel], values[sel], payload[sel]
 
 
+def _scatter_argmin_update(vals, sig_flat, flat, h, items):
+    """Fold one round of candidates into the running per-slot minima:
+    ``vals[flat] = min(vals[flat], h)`` with the winning item recorded.
+
+    Equivalent to ``_argmin_reduce`` + strict-improvement masking for
+    continuous (tie-free a.s.) draws, but O(n) scatter instead of an
+    O(n log n) lexsort per round — the analogue of the reference's direct
+    per-candidate update (``probminhash3.rs:248-266``), which also applies
+    candidates one at a time under strict ``<``.
+    """
+    old = vals[flat]
+    np.minimum.at(vals, flat, h)
+    won = (vals[flat] == h) & (h < old)
+    sig_flat[flat[won]] = items[won]
+
+
 def probminhash3a_batch(
     doc_idx: np.ndarray,
     item_hash: np.ndarray,
@@ -119,10 +135,7 @@ def probminhash3a_batch(
         k = rng.next_below(m).astype(np.int64)
         h = a_winv * (i - 1) + a_winv * e
         flat = a_doc * m + k
-        fk, fv, fi = _argmin_reduce(flat, h, a_item, ndocs * m)
-        better = fv < vals[fk]
-        vals[fk[better]] = fv[better]
-        sig.reshape(-1)[fk[better]] = fi[better]
+        _scatter_argmin_update(vals, sig.reshape(-1), flat, h, a_item)
         # retention: candidate i+1 has h >= winv*i; it can only win if
         # winv*i < qmax(doc) (probminhash3.rs:248, :279)
         qmax = vals.reshape(ndocs, m).max(axis=1)
@@ -181,10 +194,7 @@ def probminhash3a_sha_single(byte_keys, weights, m):
         e = exp01.sample(rng)
         k = rng.next_below(m).astype(np.int64)
         h = a_winv * (i - 1) + a_winv * e
-        fk, fv, fi = _argmin_reduce(k, h, a_item, m)
-        better = fv < vals[fk]
-        vals[fk[better]] = fv[better]
-        sig[0, fk[better]] = fi[better]
+        _scatter_argmin_update(vals, sig.reshape(-1), k, h, a_item)
         qmax = vals.max()
         alive = (a_winv * i) < qmax
         a_state, a_winv, a_item = a_state[alive], a_winv[alive], a_item[alive]

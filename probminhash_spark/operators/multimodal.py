@@ -188,6 +188,56 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+BYTE_STATS_SCHEMA = (
+    "doc_id long, n_bytes long, chunk_sums array<bigint>, checksum bigint"
+)
+
+
+def extract_byte_stats(media: DataFrame, n_chunks: int = 8) -> DataFrame:
+    """Exact-integer byte statistics over opaque binary payloads via iterator
+    ``mapInPandas`` — the same batched binary plumbing as
+    :func:`extract_features` (zero-copy Arrow binary columns, batch-bounded
+    memory) but with integer outputs, so the whole path is verifiable
+    against a SQL oracle bit-for-bit (no float32 rounding semantics).
+
+    Per payload: ``n_chunks`` byte-range sums with np.array_split sizing
+    (first ``len % n`` chunks get one extra byte) plus a total checksum.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [p or b"" for p in pdf["payload"]]
+            npay = len(payloads)
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=npay
+            )
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            prefix = np.zeros(buf.size + 1, dtype=np.int64)
+            np.cumsum(buf, out=prefix[1:])
+            offs = np.zeros(npay + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            i = np.arange(n_chunks)
+            sizes = (lens // n_chunks)[:, None] + (
+                i[None, :] < (lens % n_chunks)[:, None]
+            )
+            bounds = np.concatenate(
+                [np.zeros((npay, 1), np.int64), np.cumsum(sizes, axis=1)], axis=1
+            )
+            starts = offs[:-1, None] + bounds[:, :-1]
+            ends = offs[:-1, None] + bounds[:, 1:]
+            sums = prefix[ends] - prefix[starts]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": lens,
+                    "chunk_sums": list(sums),
+                    "checksum": sums.sum(axis=1),
+                }
+            )
+
+    return media.mapInPandas(run, schema=BYTE_STATS_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame,
     every_nth: int = 10,
