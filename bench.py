@@ -19,6 +19,10 @@ import sys
 import time
 from pathlib import Path
 
+# must precede the first numpy import (kernel defrag=madvise makes numpy's
+# THP madvise trigger synchronous compaction — see BENCH/BASELINE.md)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
@@ -103,7 +107,11 @@ def _sha_kernel_throughput(n: int = 200_000) -> dict:
 
     rng = np.random.default_rng(5)
     keys = rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
-    sha512_256_states(keys[:1000])  # page warm-up
+    other = rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+    # full-size warm-up with DIFFERENT keys: faults in the arena pages once
+    # (the microVM's dominant cold cost) so "cold" measures fresh-key
+    # compute, not first-touch page faults
+    sha512_256_states(other)
     t0 = time.time()
     sha512_256_states(keys)
     cold = time.time() - t0
