@@ -211,7 +211,10 @@ def sha512_256_raw(
         # gather this block's payload bytes (zero beyond the message)
         src = s_a[:, None] + blk * 128 + jj[None, :]
         valid = (blk * 128 + jj[None, :]) < l_a[:, None]
-        B = np.where(valid, buf[np.minimum(src, buf.size - 1)], 0).astype(np.uint8)
+        if buf.size:
+            B = np.where(valid, buf[np.minimum(src, buf.size - 1)], 0).astype(np.uint8)
+        else:  # all messages empty: pure padding blocks
+            B = np.zeros(src.shape, dtype=np.uint8)
         # 0x80 terminator lands in this block when lens in [blk*128, blk*128+128)
         p80 = l_a - blk * 128
         in_blk = (p80 >= 0) & (p80 < 128)

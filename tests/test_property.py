@@ -119,3 +119,54 @@ def test_lemire_bounded_int_matches_scalar(seed, bound):
                 exp.append(prod >> 64)
                 break
     assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    msgs=st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=20)
+)
+def test_sha512_256_raw_matches_hashlib(msgs):
+    """The vectorized SHA-512/256 is bit-identical to hashlib for arbitrary
+    byte messages (any length/padding regime hypothesis finds)."""
+    import hashlib
+
+    from probminhash_spark.kernels.hashes import sha512_256_raw
+
+    buf = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    got = sha512_256_raw(buf, starts, lens)
+    exp = np.stack(
+        [
+            np.frombuffer(hashlib.new("sha512_256", m).digest(), "<u8")
+            for m in msgs
+        ]
+    )
+    assert (got == exp).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    spans_texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 10),
+)
+def test_char_shingle_spans_slice_to_their_hash_preimage(spans_texts, k):
+    """Span plumbing invariant: every returned (start, len) slices out of the
+    flat buffer exactly the bytes whose polynomial hash the kernel computed —
+    re-hashing the slice as a standalone doc reproduces the hash."""
+    from probminhash_spark.kernels.shingles import char_shingles
+
+    d, h, s, ln, buf = char_shingles(spans_texts, k, return_spans=True)
+    for i in np.random.default_rng(0).permutation(len(h))[:25]:
+        piece = bytes(buf[s[i] : s[i] + ln[i]])
+        _, h2 = char_shingles([piece], max(k, len(piece) or 1) if len(piece) < k else k)
+        # the slice hashes to the same value when shingled whole
+        _, h3 = char_shingles([piece], k)
+        assert h[i] in set(h3.tolist()), i
