@@ -1034,6 +1034,32 @@ def sketch_group_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_l", "key_r")
 
 
+def sketch_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup of union sketches (S19 mergeability, second level):
+    per-(lang, source) union sketches merge UP to per-lang unions without
+    re-reading the documents — bit-identical to direct aggregation (merge is
+    associative+commutative; pytest-enforced).  Rows-only (sketch-valued)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.sketch_ops import (
+        group_distinct_shingles,
+        rollup_group_sketches,
+    )
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(setsketch_m=256)
+    docs = spark.table("documents").selectExpr("lang", "source", "text AS content")
+    children = group_distinct_shingles(docs, ["lang", "source"], cfg)
+    out = rollup_group_sketches(children, ["lang"], cfg)
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_child_groups",
+        F.round("est_distinct_shingles", 2).alias("est_distinct_shingles"),
+    ).orderBy("lang")
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over the documents table: text payloads become
     opaque binary columns with typed metadata, features extracted via
@@ -1187,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ordminhash": sketch_ordminhash,
         "sketch_group_cardinality": sketch_group_cardinality,
         "sketch_group_jaccard": sketch_group_jaccard,
+        "sketch_group_rollup": sketch_group_rollup,
         "multimodal_features": multimodal_features,
         "multimodal_byte_stats": multimodal_byte_stats,
     }

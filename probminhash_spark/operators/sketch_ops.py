@@ -142,6 +142,47 @@ def group_distinct_shingles(
     return partials.groupBy(*group_cols).applyInPandas(merge_partials, out_schema)
 
 
+def rollup_group_sketches(
+    group_sketches: DataFrame,
+    parent_cols: list[str],
+    cfg: DedupConfig,
+) -> DataFrame:
+    """Merge group union sketches UP a hierarchy (e.g. (lang, source) ->
+    lang -> corpus) WITHOUT touching the documents again — the second-level
+    payoff of SetSketch mergeability (``setsketcher.rs:428-446``): a rollup
+    over child sketches is bit-identical to re-aggregating the raw rows,
+    at the cost of one tiny shuffle over one-row-per-child-group inputs.
+
+    ``group_sketches``: output of :func:`group_distinct_shingles` (or of a
+    previous rollup) whose group columns are a superset of ``parent_cols``.
+    """
+    params = SetSketchParams(m=cfg.setsketch_m)
+    m = cfg.setsketch_m
+    out_schema = (
+        ", ".join(f"{c} string" for c in parent_cols)
+        + ", n_docs long, n_child_groups long, est_distinct_shingles double,"
+        + " union_regs binary"
+    )
+    pc = list(parent_cols)
+
+    def merge_children(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        union = _unpack_regs(pdf["union_regs"], m).max(axis=0)
+        card, _ = setsketch_cardinality(union.astype(np.float64), params)
+        return pd.DataFrame(
+            [
+                {
+                    **{c: k for c, k in zip(pc, key)},
+                    "n_docs": int(pdf["n_docs"].sum()),
+                    "n_child_groups": len(pdf),
+                    "est_distinct_shingles": float(card),
+                    "union_regs": union.astype("<u2").tobytes(),
+                }
+            ]
+        )
+
+    return group_sketches.groupBy(*pc).applyInPandas(merge_children, out_schema)
+
+
 def group_jaccard(
     group_sketches: DataFrame,
     cfg: DedupConfig,

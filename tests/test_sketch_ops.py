@@ -36,6 +36,46 @@ def test_group_distinct_shingles_and_jaccard(spark, tiny_corpus):
         assert abs(r["j_mle"] - r["j_mle_b1"]) < 0.05
 
 
+def test_rollup_equals_direct_aggregation(spark, tiny_corpus):
+    """Merging child group sketches up a hierarchy must be BIT-identical to
+    aggregating the documents directly at the parent level (associativity/
+    commutativity of the slot max — setsketcher.rs:428-446)."""
+    from probminhash_spark.operators.sketch_ops import rollup_group_sketches
+
+    cfg = DedupConfig(setsketch_m=256)
+    files = tiny_corpus.files.copy()
+    # two-level hierarchy: lang -> (lang, repo-bucket)
+    files["bucket"] = [f"b{hash(r) % 3}" for r in files["repo"]]
+    docs = spark.createDataFrame(files).selectExpr(
+        "lang", "bucket", "content"
+    )
+    children = group_distinct_shingles(docs, ["lang", "bucket"], cfg).cache()
+    rolled = {
+        r["lang"]: r
+        for r in rollup_group_sketches(children, ["lang"], cfg).collect()
+    }
+    direct = {
+        r["lang"]: r
+        for r in group_distinct_shingles(docs, ["lang"], cfg).collect()
+    }
+    assert set(rolled) == set(direct)
+    n_children = {
+        r["lang"]: r["cnt"]
+        for r in children.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()
+    }
+    for lang in direct:
+        assert rolled[lang]["union_regs"] == direct[lang]["union_regs"], lang
+        assert rolled[lang]["n_docs"] == direct[lang]["n_docs"]
+        assert (
+            abs(
+                rolled[lang]["est_distinct_shingles"]
+                - direct[lang]["est_distinct_shingles"]
+            )
+            < 1e-9
+        )
+        assert rolled[lang]["n_child_groups"] == n_children[lang]
+
+
 def test_group_merge_is_two_phase_and_partition_bounded(spark, tiny_corpus):
     """Scale-safety of the union-sketch merge (round-2 verdict weak #1):
     with one group forced across >= 8 partitions, (a) phase 1 emits at most
