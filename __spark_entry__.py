@@ -250,29 +250,6 @@ def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup / text-analysis family (documents table)
 # ---------------------------------------------------------------------------
 
-_NGRAM_SPARK = """
-WITH grams AS (
-  SELECT doc_id,
-         EXPLODE(ARRAY_DISTINCT(TRANSFORM(
-             SEQUENCE(1, GREATEST(LENGTH(text) - 7, 1)),
-             i -> SUBSTRING(text, i, 8)))) AS g
-  FROM documents
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_l, b.doc_id AS id_r, COUNT(*) AS i
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_l, id_r,
-       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j_exact
-FROM inter
-JOIN sizes sa ON id_l = sa.doc_id
-JOIN sizes sb ON id_r = sb.doc_id
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
-ORDER BY id_l, id_r
-"""
-
 _NGRAM_DUCK = """
 WITH grams AS (
   SELECT doc_id,
@@ -298,45 +275,24 @@ ORDER BY id_l, id_r
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact char-8-gram Jaccard pairs (J >= 0.5) with lossless
-    shared-gram blocking — the exact-verification semantics of the pipeline,
-    expressed natively so DuckDB can replay it.
+    """Exact char-8-gram Jaccard pairs (J >= 0.5) via the SCALE-PATH
+    operator (round 3): bucket-capped candidate generation over gram buckets
+    + pair-bounded intersection counting (operators/exact_pairs.py) — never
+    the df^2 gram self-join.  ``on_capped='fail'`` asserts no bucket was
+    capped, so the output provably equals the brute-force all-pairs answer
+    the DuckDB oracle computes (IEEE division of exact integer counts)."""
+    import pyspark.sql.functions as F
 
-    Scale note: all-pairs-above-J semantics are inherently quadratic in hot
-    grams (a viral 8-gram with df=d emits d^2/2 join rows), so this query is
-    the *oracle-scale* formulation; per-gram skew is handled at runtime by
-    AQE skew-join (enabled in session.py) which splits oversized join
-    partitions, but output volume itself is the bound.  The 100 TB path is
-    dedup_minhash_lsh, whose banding + bucket-cap policy bounds candidate
-    volume explicitly."""
+    from probminhash_spark.operators.exact_pairs import ngram_jaccard_pairs
+
     _load(spark, sf_dir, "documents")
-    return spark.sql(_NGRAM_SPARK)
+    out = ngram_jaccard_pairs(
+        spark.table("documents"), threshold=0.5, gram_len=8, on_capped="fail"
+    )
+    return out.orderBy("id_l", "id_r")
 
 
 _TOKEN_RE = r"[0-9A-Za-z_\x{0080}-\x{10ffff}]+"
-
-_WJ_SPARK = """
-WITH toks AS (
-  SELECT doc_id, tok, COUNT(*) AS c
-  FROM (SELECT doc_id,
-               EXPLODE(regexp_extract_all(text, '{re}', 0)) AS tok
-        FROM documents)
-  GROUP BY doc_id, tok
-),
-tot AS (SELECT doc_id, SUM(c) AS n FROM toks GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_l, b.doc_id AS id_r, SUM(LEAST(a.c, b.c)) AS smin
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_l, id_r,
-       ROUND(CAST(smin AS DOUBLE) / (ta.n + tb.n - smin), 6) AS j_weighted
-FROM inter
-JOIN tot ta ON id_l = ta.doc_id
-JOIN tot tb ON id_r = tb.doc_id
-WHERE CAST(smin AS DOUBLE) / (ta.n + tb.n - smin) >= 0.8
-ORDER BY id_l, id_r
-""".replace("{re}", _TOKEN_RE.replace("\\", "\\\\"))
 
 _WJ_DUCK = """
 WITH toks AS (
@@ -363,12 +319,21 @@ ORDER BY id_l, id_r
 
 
 def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact WEIGHTED (multiset) token Jaccard pairs
-    (J_w >= 0.8): sum min(c_a,c_b) / sum max(c_a,c_b) over token counts —
-    the quantity the ProbMinHash family estimates (J_p), expressed natively
-    so DuckDB can replay it.  Oracle-scale all-pairs formulation."""
+    """Exact WEIGHTED (multiset) token Jaccard pairs (J_w >= 0.8) via the
+    SCALE-PATH operator (round 3): bucket-capped candidates over token
+    buckets + pair-bounded sum-min intersection (operators/exact_pairs.py).
+    ``on_capped='fail'`` guards oracle equality with the brute-force DuckDB
+    replay."""
+    from probminhash_spark.operators.exact_pairs import weighted_token_jaccard_pairs
+
     _load(spark, sf_dir, "documents")
-    return spark.sql(_WJ_SPARK)
+    out = weighted_token_jaccard_pairs(
+        spark.table("documents"),
+        threshold=0.8,
+        token_re=_TOKEN_RE.replace("\\", "\\\\"),
+        on_capped="fail",
+    )
+    return out.orderBy("id_l", "id_r")
 
 
 def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:

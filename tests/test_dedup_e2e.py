@@ -401,6 +401,54 @@ def test_recall_with_cardinality_prefilter_enabled(spark, tiny_corpus, spark_fil
     assert recall >= 0.99 and found <= truth
 
 
+def test_exact_pairs_operators_cap_guard_and_star(spark):
+    """Scale-path exact Jaccard operators: the viral-feature cap guard
+    raises under on_capped='fail', the star path stays bounded, and the
+    uncapped output equals a python brute force."""
+    import dataclasses
+
+    import pandas as pd
+    import pytest
+
+    from probminhash_spark.operators.exact_pairs import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(17)
+    # 12 docs all sharing one viral 8-gram; two of them near-identical
+    viral = "SHAREDGR"
+    base = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 64))
+    texts = [
+        viral + "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 64))
+        for _ in range(10)
+    ] + [viral + base, viral + base + "x"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(12), "text": texts})
+    )
+    small_cap = dataclasses.replace(CFG, bucket_cap=4)
+    with pytest.raises(RuntimeError, match="bucket_cap"):
+        ngram_jaccard_pairs(docs, 0.5, cfg=small_cap, on_capped="fail").collect()
+    # star path runs bounded and keeps exactness for pairs it emits
+    star = ngram_jaccard_pairs(docs, 0.5, cfg=small_cap, on_capped="star").collect()
+    for r in star:
+        assert r["j_exact"] >= 0.5
+    # uncapped: equals python brute force
+    full = {
+        (r["id_l"], r["id_r"]): r["j_exact"]
+        for r in ngram_jaccard_pairs(docs, 0.5, on_capped="fail").collect()
+    }
+    grams = [
+        {t[i : i + 8] for i in range(max(len(t) - 7, 1))} for t in texts
+    ]
+    brute = {}
+    for a in range(12):
+        for b in range(a + 1, 12):
+            j = len(grams[a] & grams[b]) / len(grams[a] | grams[b])
+            if j >= 0.5:
+                brute[(a, b)] = j
+    assert set(full) == set(brute)
+    for k, v in brute.items():
+        assert abs(full[k] - v) < 1e-12
+
+
 def test_simhash_dup_pairs_planted(spark):
     """SimHash Hamming-ball dedup: few-token edits stay within the Hamming
     ball (block-join candidates + native bit_count verify); unrelated docs
