@@ -330,7 +330,7 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = weighted_token_jaccard_pairs(
         spark.table("documents"),
         threshold=0.8,
-        token_re=_TOKEN_RE.replace("\\", "\\\\"),
+        token_re=_TOKEN_RE,  # bound as a literal, no SQL-string escaping
         on_capped="fail",
     )
     return out.orderBy("id_l", "id_r")
@@ -453,7 +453,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").selectExpr("doc_id", "text AS content")
     cfg = DedupConfig(shingle_mode="token", shingle_size=1)
-    out = simhash_dup_pairs(docs, cfg, max_hamming=3)
+    out = simhash_dup_pairs(docs, cfg, max_hamming=3, on_capped="fail")
     return out.orderBy("id_l", "id_r")
 
 
@@ -1095,8 +1095,10 @@ def _multimodal_byte_stats_duck_sql(n_chunks: int = 8) -> str:
     one extra byte), integer sums."""
     return f"""
         WITH raw AS (
-          SELECT doc_id, hex(encode(text)) AS hx,
-                 octet_length(encode(text)) AS nb
+          -- COALESCE: Spark's encode(NULL) payload becomes b'' in the UDF
+          -- ('p or b\"\"'), so the oracle must score the doc as empty too
+          SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx,
+                 octet_length(encode(COALESCE(text, ''))) AS nb
           FROM documents
         ),
         bytes AS (
@@ -1279,8 +1281,10 @@ def _fingerprint_duck_sql(k: int = 8, window: int = 16) -> str:
     )
     return f"""
         WITH raw AS (
-          SELECT doc_id, hex(encode(text)) AS hx,
-                 octet_length(encode(text)) AS nb
+          -- COALESCE: the Spark UDF fillna('')s NULL text and still emits a
+          -- whole-content fingerprint row; the oracle must not drop the doc
+          SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx,
+                 octet_length(encode(COALESCE(text, ''))) AS nb
           FROM documents
         ),
         bytes AS (

@@ -38,19 +38,29 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
     The probe is PLAN-SIDE only — no RDD plan conversion per call (round-2
     verdict minor):
-    - a plan that already contains an explicit Repartition/Rebalance is
-      trusted (the caller chose its parallelism);
+    - a plan that already contains an explicit Repartition/Rebalance NODE
+      (checked against logical-plan class names in the plan JSON, not the
+      pretty-printed string, so column names/literals can't false-match) is
+      trusted — the caller chose its parallelism;
     - file-backed scans estimate their split count with Spark's own
       FilePartition math (maxSplitBytes bin-packing over file sizes +
-      openCostInBytes) from the scan's input files;
+      openCostInBytes); files with non-splittable codecs (.gz/.zst/...)
+      count as ONE split each regardless of size;
     - fileless plans (in-memory test frames, synthetic ranges) repartition
-      unconditionally — they are tiny by construction.
+      to the cluster parallelism unconditionally.  Note: that normalizes an
+      over-partitioned in-memory frame DOWN to the core count — the right
+      shape for the UDF stages this guard feeds (more partitions than cores
+      adds scheduling overhead, not parallelism) — at the cost of one
+      shuffle of a frame that is driver-local-sized by construction.
     """
     spark = df.sparkSession
     sc = spark.sparkContext
     target = sc.defaultParallelism
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if "Repartition" in plan or "RebalancePartitions" in plan:
+    plan_json = df._jdf.queryExecution().analyzed().toJSON()
+    if (
+        "plans.logical.Repartition" in plan_json
+        or "plans.logical.RebalancePartitions" in plan_json
+    ):
         return df
     files = df.inputFiles()
     if not files:
@@ -69,20 +79,24 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
     )
     hconf = sc._jsc.hadoopConfiguration()
-    total = 0
+    est_splits = 0
+    unsplittable = (".gz", ".zst", ".snappy", ".lz4", ".deflate", ".bz2")
     for f in files:
         p = jvm.org.apache.hadoop.fs.Path(f)
         try:
-            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
         except Exception:
             return df.repartition(target)  # unstat-able: be conservative
-    padded = total + len(files) * open_cost
-    bytes_per_core = max(padded // max(target, 1), 1)
-    max_split = min(mpb, max(open_cost, bytes_per_core))
-    est_splits = -(-padded // max(max_split, 1))  # ceil
-    if est_splits < target:
-        return df.repartition(target)
-    return df
+        if f.lower().endswith(unsplittable):
+            est_splits += 1  # whole-file codec: Spark cannot split it
+        else:
+            padded = size + open_cost
+            bytes_per_core = max(padded // max(target, 1), 1)
+            max_split = min(mpb, max(open_cost, bytes_per_core))
+            est_splits += -(-padded // max(max_split, 1))  # ceil
+        if est_splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def with_signature(
@@ -352,6 +366,7 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     content_col: str = "content",
+    on_capped: str = "star",
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= ``max_hamming``
     (Manku/Jain/Sarma, WWW'07): split the 64-bit fingerprint into
@@ -375,7 +390,22 @@ def simhash_dup_pairs(
     bands = fp.select(
         F.col(id_col), F.explode(F.expr(block_expr)).alias("bk")
     ).select(id_col, "bk.band_id", "bk.band_key")
-    pairs, _capped = candidate_pairs(bands, cfg, id_col)
+    pairs, capped = candidate_pairs(bands, cfg, id_col)
+    if on_capped == "fail":
+        # oracle-equality guard (same contract as dedup_edges): a fingerprint
+        # block shared by > bucket_cap docs would star-expand and silently
+        # drop true close pairs that a brute-force oracle keeps
+        hit = capped.limit(1).collect()
+        if hit:
+            r = hit[0]
+            raise RuntimeError(
+                f"simhash block bucket (band_id={r['band_id']}, "
+                f"key={r['band_key']}) has {r['bucket_size']} members > "
+                f"bucket_cap={cfg.bucket_cap}; star-capped output would "
+                "diverge from an all-pairs oracle"
+            )
+    elif on_capped != "star":  # pragma: no cover
+        raise ValueError(f"bad on_capped {on_capped!r}")
     s = fp.select(F.col(id_col), F.col("sh"))
     return (
         pairs.join(s.withColumnsRenamed({id_col: "id_l", "sh": "sh_l"}), "id_l")

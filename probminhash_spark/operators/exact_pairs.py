@@ -56,6 +56,12 @@ def ngram_jaccard_pairs(
     Output: (id_l, id_r, j_exact) — identical to the brute-force shared-gram
     self-join when no bucket is capped (IEEE division of exact integer
     counts, so DuckDB replays it bit-for-bit).
+
+    Note: the gram table is persisted for the returned query's lifetime (it
+    feeds four subtrees: buckets, sizes, and both intersection sides).
+    Callers running repeated sweeps should ``spark.catalog.clearCache()``
+    between runs — same caller-managed contract as ``dedup_edges``'
+    signature persist.
     """
     cfg = cfg or DedupConfig()
     grams = docs.select(
@@ -118,10 +124,14 @@ def weighted_token_jaccard_pairs(
     Output: (id_l, id_r, j_weighted ROUND 6).
     """
     cfg = cfg or DedupConfig()
+    # bind the pattern as a literal (not an interpolated SQL string) so
+    # regexes containing quotes can't break / alter the expression
     toks = (
         docs.select(
             F.col(id_col),
-            F.explode(F.expr(f"regexp_extract_all({content_col}, '{token_re}', 0)")).alias("tok"),
+            F.explode(
+                F.regexp_extract_all(F.col(content_col), F.lit(token_re), 0)
+            ).alias("tok"),
         )
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("c"))

@@ -118,29 +118,38 @@ def _audio_features(x: np.ndarray, n_features: int) -> np.ndarray:
     return f
 
 
-def _fake_decode_batch(payloads, n_features: int) -> np.ndarray:
-    """Deterministic codec stand-in, vectorized over the whole Arrow batch:
-    per payload, the means of its ``n_features`` byte chunks (np.array_split
-    sizing: first ``len%n`` chunks get one extra byte).  One concat + one
-    prefix-sum for the batch — no per-payload Python.  Identical payloads ->
-    identical features; empty payloads -> zeros."""
+def _chunk_sums(payloads, n_chunks: int, dtype) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-payload byte-range sums over ``n_chunks`` chunks with
+    np.array_split sizing (first ``len % n`` chunks get one extra byte),
+    vectorized over the whole batch: one concat + one prefix-sum, no
+    per-payload Python.  Returns (sums (n, c), sizes (n, c), lens (n,)).
+
+    Single source of truth for the chunking math — shared by the float
+    feature fallback and the integer byte-stats operator so the
+    oracle-verified path can never drift from the feature path."""
     npay = len(payloads)
-    lens = np.fromiter(
-        (len(p or b"") for p in payloads), dtype=np.int64, count=npay
-    )
-    buf = np.frombuffer(b"".join(p or b"" for p in payloads), dtype=np.uint8)
-    prefix = np.zeros(buf.size + 1, dtype=np.float64)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=npay)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    prefix = np.zeros(buf.size + 1, dtype=dtype)
     np.cumsum(buf, out=prefix[1:])
     offs = np.zeros(npay + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    i = np.arange(n_features)
-    sizes = (lens // n_features)[:, None] + (i[None, :] < (lens % n_features)[:, None])
+    i = np.arange(n_chunks)
+    sizes = (lens // n_chunks)[:, None] + (i[None, :] < (lens % n_chunks)[:, None])
     bounds = np.concatenate(
         [np.zeros((npay, 1), np.int64), np.cumsum(sizes, axis=1)], axis=1
     )
     starts = offs[:-1, None] + bounds[:, :-1]
     ends = offs[:-1, None] + bounds[:, 1:]
-    sums = prefix[ends] - prefix[starts]
+    return prefix[ends] - prefix[starts], sizes, lens
+
+
+def _fake_decode_batch(payloads, n_features: int) -> np.ndarray:
+    """Deterministic codec stand-in: per payload, the MEANS of its
+    ``n_features`` byte chunks (see :func:`_chunk_sums`).  Identical
+    payloads -> identical features; empty payloads -> zeros."""
+    payloads = [p or b"" for p in payloads]
+    sums, sizes, _ = _chunk_sums(payloads, n_features, np.float64)
     return np.where(sizes > 0, sums / np.maximum(sizes, 1), 0.0).astype(np.float32)
 
 
@@ -207,25 +216,7 @@ def extract_byte_stats(media: DataFrame, n_chunks: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [p or b"" for p in pdf["payload"]]
-            npay = len(payloads)
-            lens = np.fromiter(
-                (len(p) for p in payloads), dtype=np.int64, count=npay
-            )
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            prefix = np.zeros(buf.size + 1, dtype=np.int64)
-            np.cumsum(buf, out=prefix[1:])
-            offs = np.zeros(npay + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            i = np.arange(n_chunks)
-            sizes = (lens // n_chunks)[:, None] + (
-                i[None, :] < (lens % n_chunks)[:, None]
-            )
-            bounds = np.concatenate(
-                [np.zeros((npay, 1), np.int64), np.cumsum(sizes, axis=1)], axis=1
-            )
-            starts = offs[:-1, None] + bounds[:, :-1]
-            ends = offs[:-1, None] + bounds[:, 1:]
-            sums = prefix[ends] - prefix[starts]
+            sums, _, lens = _chunk_sums(payloads, n_chunks, np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
