@@ -22,6 +22,7 @@ from ..functions.sketch_udfs import (
     make_exact_jaccard_udf,
     make_sketch_udf,
 )
+from .cache import pin
 
 
 def with_doc_id(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
@@ -335,7 +336,9 @@ def dedup_edges(
     # persist signatures: they feed banding AND both sides of the estimate
     # join — without it the sketch UDF would execute three times.  (The staged
     # pipeline gets this for free by checkpointing the signatures table.)
-    sigs = with_signature(docs, cfg, content_col).select(id_col, "sig").persist()
+    # Lifetime: released by the caller's cache_scope() (see operators.cache);
+    # outside a scope the persist lives until clearCache() — caller-managed.
+    sigs = pin(with_signature(docs, cfg, content_col).select(id_col, "sig"))
     bands = band_explode(sigs, cfg, id_col)
     pairs, capped = candidate_pairs(bands, cfg, id_col)
     if on_capped == "fail":
@@ -380,9 +383,12 @@ def simhash_dup_pairs(
     n_blocks = max_hamming + 1
     bits = 64 // n_blocks
     sim = make_simhash_udf(cfg)
-    fp = ensure_parallelism(docs).select(
-        F.col(id_col), sim(F.col(content_col)).alias("sh")
-    ).persist()
+    # fp persist lifetime: caller's cache_scope() (see operators.cache)
+    fp = pin(
+        ensure_parallelism(docs).select(
+            F.col(id_col), sim(F.col(content_col)).alias("sh")
+        )
+    )
     block_expr = (
         "transform(sequence(0, {nb} - 1), b -> struct(b AS band_id,"
         " (shiftrightunsigned(sh, b * {bits}) & {mask}) AS band_key))"

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import DedupConfig
+from .cache import pin
 from .dedup import candidate_pairs
 
 
@@ -59,23 +60,25 @@ def ngram_jaccard_pairs(
 
     Note: the gram table is persisted for the returned query's lifetime (it
     feeds four subtrees: buckets, sizes, and both intersection sides).
-    Callers running repeated sweeps should ``spark.catalog.clearCache()``
-    between runs — same caller-managed contract as ``dedup_edges``'
-    signature persist.
+    Wrap build + execution in ``operators.cache.cache_scope()`` to release
+    it; outside a scope the persist is caller-managed (``clearCache()``) —
+    same contract as ``dedup_edges``' signature persist.
     """
     cfg = cfg or DedupConfig()
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({content_col})"
-                    f" - {gram_len - 1}, 1)), i -> substring({content_col},"
-                    f" i, {gram_len}))"
+    grams = pin(
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length({content_col})"
+                        f" - {gram_len - 1}, 1)), i -> substring({content_col},"
+                        f" i, {gram_len}))"
+                    )
                 )
-            )
-        ).alias("g"),
-    ).persist()
+            ).alias("g"),
+        )
+    )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     # bucket-capped candidates: xxhash64(gram) buckets (a 2^-64 collision
     # only ADDS a candidate, which the exact intersection count then rejects)
@@ -125,8 +128,9 @@ def weighted_token_jaccard_pairs(
     """
     cfg = cfg or DedupConfig()
     # bind the pattern as a literal (not an interpolated SQL string) so
-    # regexes containing quotes can't break / alter the expression
-    toks = (
+    # regexes containing quotes can't break / alter the expression.
+    # Persist lifetime: caller's cache_scope() (see ngram_jaccard_pairs).
+    toks = pin(
         docs.select(
             F.col(id_col),
             F.explode(
@@ -135,7 +139,6 @@ def weighted_token_jaccard_pairs(
         )
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("c"))
-        .persist()
     )
     tot = toks.groupBy(id_col).agg(F.sum("c").alias("n"))
     bands = toks.select(

@@ -205,9 +205,13 @@ def group_jaccard(
     join — no shuffle in the pair stage at all.
     """
     from ..kernels.setsketch import setsketch_jaccard_mle, setsketch_jaccard_mle_b1
+    from .cache import pin
 
     params = SetSketchParams(m=cfg.setsketch_m)
-    group_sketches = group_sketches.persist()
+    # persist: the (tiny) group-sketch table feeds both join sides; released
+    # by the caller's cache_scope() (see operators.cache), caller-managed
+    # (clearCache()) outside one
+    group_sketches = pin(group_sketches)
     a = group_sketches.select(
         F.col(key_col).alias("key_l"), F.col("union_regs").alias("regs_l")
     )
