@@ -48,15 +48,16 @@ def _sketch_batch_np(texts, cfg: DedupConfig) -> np.ndarray:
         d, h = shingle_batch(texts, cfg.shingle_mode, cfg.shingle_size)
         _, sig = optdens_minhash_batch(d, h, ndocs, cfg.num_hashes, cfg.hasher)
     elif cfg.algo == "probminhash3a":
-        if cfg.hasher == "sha" and cfg.shingle_mode == "char":
+        if cfg.hasher == "sha":
             # ProbMinHash3aSha raw-byte identity (S6): digest the shingle's
-            # OWN utf-8 bytes (sig.rs:12-15, probminhash3sha.rs:106-114) via
+            # OWN key bytes (sig.rs:12-15, probminhash3sha.rs:106-114) via
             # one representative span per unique (doc, shingle) — identity
-            # does not pass through the u64 poly-hash bottleneck.  Char mode
-            # only: a char k-gram's span bytes ARE its key; token w-shingles
-            # hash the token-hash sequence (separator-insensitive), so their
-            # raw span is NOT a canonical key byte form — token+sha keeps the
-            # documented digest-of-u64 regime below.
+            # does not pass through the u64 poly-hash bottleneck.  Char
+            # mode: a k-gram's span bytes ARE its key.  Token mode: the key
+            # is the CANONICAL byte form of the window — its tokens joined
+            # by 0x00 (see token_shingles), preserving the separator-
+            # insensitive identity the poly-hash computes while digesting
+            # raw key bytes like the reference regime.
             from ..kernels.hashes import sha512_256_states_raw
 
             di, hi, s0, l0, buf = shingle_batch(

