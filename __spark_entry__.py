@@ -1029,8 +1029,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over the documents table: text payloads become
     opaque binary columns with typed metadata, features extracted via
     iterator mapInPandas (vectorized fake decode — real codecs are the
-    documented stub seam).  Rows-only (byte-level features are not
-    SQL-expressible in DuckDB)."""
+    documented stub seam).
+
+    Oracle-able (graduated in r4): the fake-decode features are float32 of
+    integer-exact chunk means (sum/size, one float64 division, float32 RN
+    cast — no accumulation), so ``floor(float64(f32_value) * 8192)`` is a
+    bit-deterministic fixed-point encoding both engines compute identically
+    (the *8192 widening of a float32-representable value by a power of two
+    is exact; floor of an exact binary value has no rounding boundary).
+    Payloads are framed with a 'D:' prefix so document text can never sniff
+    as BMP/RIFF media and trip a real decoder the oracle can't replay."""
     import pyspark.sql.functions as F
 
     from probminhash_spark.operators.multimodal import extract_features
@@ -1042,7 +1050,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("modality"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.encode(
+            F.concat(F.lit("D:"), F.coalesce(F.col("text"), F.lit(""))), "utf-8"
+        ).alias("payload"),
         F.struct(
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
@@ -1057,10 +1067,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modality",
         "n_bytes",
         F.concat_ws(
-            "-", F.expr("transform(features, x -> cast(round(x, 3) as string))")
-        ).alias("features_str"),
+            "-",
+            F.expr(
+                "transform(features, x -> cast(cast(floor(cast(x as double)"
+                " * 8192.0D) as bigint) as string))"
+            ),
+        ).alias("features_q13"),
     ).orderBy("doc_id")
     return out
+
+
+def _multimodal_features_duck_sql(n_chunks: int = 8) -> str:
+    """DuckDB replay of the fake-decode feature path: per-chunk byte sums
+    and sizes (np.array_split sizing), chunk mean -> float32 (CAST AS REAL,
+    same IEEE round-to-nearest as numpy's astype) -> exact *8192 fixed-point
+    floor.  Empty chunks score 0 like the UDF's np.where(sizes > 0, ...)."""
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                 hex(encode('D:' || COALESCE(text, ''))) AS hx,
+                 octet_length(encode('D:' || COALESCE(text, ''))) AS nb
+          FROM documents
+        ),
+        bytes AS (
+          SELECT doc_id, modality, nb,
+            list_transform(range(CAST(nb AS BIGINT)), j ->
+              CAST(16 * (strpos('0123456789ABCDEF',
+                                substr(hx, 2*CAST(j AS INT)+1, 1)) - 1)
+                   + (strpos('0123456789ABCDEF',
+                             substr(hx, 2*CAST(j AS INT)+2, 1)) - 1)
+               AS BIGINT)) AS bv
+          FROM raw
+        ),
+        feats AS (
+          SELECT doc_id, modality, nb,
+            list_transform(range({n_chunks}), j ->
+              CASE WHEN ((j + 1) * (nb // {n_chunks}) + LEAST(j + 1, nb % {n_chunks}))
+                        > (j * (nb // {n_chunks}) + LEAST(j, nb % {n_chunks}))
+                THEN CAST(FLOOR(CAST(
+                       CAST(COALESCE(list_aggregate(list_slice(bv,
+                         CAST(j * (nb // {n_chunks}) + LEAST(j, nb % {n_chunks}) AS INT) + 1,
+                         CAST((j + 1) * (nb // {n_chunks}) + LEAST(j + 1, nb % {n_chunks}) AS INT)),
+                         'sum'), 0) AS DOUBLE)
+                       / CAST(((j + 1) * (nb // {n_chunks}) + LEAST(j + 1, nb % {n_chunks}))
+                              - (j * (nb // {n_chunks}) + LEAST(j, nb % {n_chunks})) AS DOUBLE)
+                     AS REAL) * 8192.0) AS BIGINT)
+                ELSE 0 END) AS fq
+          FROM bytes
+        )
+        SELECT doc_id, modality, CAST(nb AS BIGINT) AS n_bytes,
+               array_to_string(fq, '-') AS features_q13
+        FROM feats ORDER BY doc_id
+    """
 
 
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,6 +1652,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_simhash_duck_sql(),
         "sketch_fingerprints": _fingerprint_duck_sql(),
         "multimodal_byte_stats": _multimodal_byte_stats_duck_sql(),
+        "multimodal_features": _multimodal_features_duck_sql(),
         # ann_cosine_topk_lsh: intentionally no oracle — approximate top-k of
         # arbitrary-distance neighbors has no recall guarantee, so the driver
         # records the rows-only check; accuracy vs brute force is asserted in
