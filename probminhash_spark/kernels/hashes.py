@@ -310,6 +310,10 @@ def sha512_256_states_raw(
     ``keys[i]`` is the u64 poly-hash of message ``buf[starts[i]:+lens[i]]``,
     used ONLY for dedup/caching (equal hash <=> equal bytes w.h.p.; a 2^-64
     in-batch collision risk, the engine's standing shingle-identity regime).
+    Note the cache makes a collision sticky for the worker's lifetime: the
+    first-seen bytes' digest is served for any later key collision across
+    batches — still the same 2^-64-per-pair exposure, just persistent
+    (r3 ADVICE, accepted).
     Returns (states (n,4) u64, ident (n,) u64) like :func:`sha512_256_states`.
     """
     global _SHA_RAW_CACHE_KEYS, _SHA_RAW_CACHE_STATES

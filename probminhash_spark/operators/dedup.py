@@ -47,12 +47,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
       FilePartition math (maxSplitBytes bin-packing over file sizes +
       openCostInBytes); files with non-splittable codecs (.gz/.zst/...)
       count as ONE split each regardless of size;
-    - fileless plans (in-memory test frames, synthetic ranges) repartition
-      to the cluster parallelism unconditionally.  Note: that normalizes an
-      over-partitioned in-memory frame DOWN to the core count — the right
-      shape for the UDF stages this guard feeds (more partitions than cores
-      adds scheduling overhead, not parallelism) — at the cost of one
-      shuffle of a frame that is driver-local-sized by construction.
+    - fileless DRIVER-LOCAL plans (LocalRelation / LogicalRDD — in-memory
+      test frames, parallelized pandas) repartition to the cluster
+      parallelism: they are driver-local-sized by construction, so the
+      shuffle is cheap and the UDF stage gets full fan-out.  Other fileless
+      plans (JDBC relations, ranges, streaming-derived frames) are left
+      untouched — their sources already chose a partitioning, and an
+      unconditional repartition would pay a full shuffle and could COALESCE
+      a well-partitioned large input down to the core count (r3 ADVICE).
     """
     spark = df.sparkSession
     sc = spark.sparkContext
@@ -65,7 +67,12 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     files = df.inputFiles()
     if not files:
-        return df.repartition(target)
+        if (
+            "plans.logical.LocalRelation" in plan_json
+            or "execution.LogicalRDD" in plan_json
+        ):
+            return df.repartition(target)
+        return df
     if len(files) >= target:
         return df
     # few files: mirror FilePartition.maxSplitBytes + packing to estimate how

@@ -314,7 +314,14 @@ def test_ensure_parallelism_is_plan_side(spark, tmp_path):
     assert ensure_parallelism(forced) is forced  # caller's choice respected
 
     mem = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3]}))
-    assert ensure_parallelism(mem) is not mem
+    assert ensure_parallelism(mem) is not mem  # LocalRelation: fan out
+    lst = spark.createDataFrame([(1,), (2,)], "a int")
+    assert ensure_parallelism(lst) is not lst  # LogicalRDD: fan out
+
+    # fileless but NOT driver-local (range / JDBC / streaming-derived): the
+    # source chose its partitioning — no unconditional shuffle (r3 ADVICE)
+    rng = spark.range(0, 1000, 1, numPartitions=7)
+    assert ensure_parallelism(rng) is rng
 
 
 def test_cardinality_prefilter_drops_mismatched_keeps_similar(spark):

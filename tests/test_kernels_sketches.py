@@ -171,51 +171,6 @@ def test_setsketch_merge_is_union():
     assert np.array_equal(setsketch_merge(ra, rb), ru)
 
 
-def test_superminhash_values_surface_equivalent_to_winners(spark):
-    """S12 float hsketch exposure: slot VALUE equality and slot WINNER
-    equality are the same relation a.s. (the per-item permutation and values
-    are deterministic functions of the item), and the zip_with equal-slot
-    estimate over the float arrays equals the winner-based one."""
-    import pandas as pd
-    import pyspark.sql.functions as F
-
-    from probminhash_spark.config import DedupConfig
-    from probminhash_spark.functions.sketch_udfs import (
-        make_sketch_udf,
-        make_superminhash_values_udf,
-    )
-
-    cfg = DedupConfig(algo="superminhash", num_hashes=32, bands=8, rows=4)
-    base = "the quick brown fox jumps over the lazy dog again and again"
-    texts = [base, base + " with a small tail edit", "completely different words here"]
-    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 2], "text": texts}))
-    both = df.select(
-        "doc_id",
-        make_sketch_udf(cfg)(F.col("text")).alias("win"),
-        make_superminhash_values_udf(cfg)(F.col("text")).alias("vals"),
-    )
-    a = both.selectExpr("doc_id AS id_l", "win AS win_l", "vals AS vals_l")
-    b = both.selectExpr("doc_id AS id_r", "win AS win_r", "vals AS vals_r")
-    pairs = a.join(b, F.col("id_l") < F.col("id_r")).selectExpr(
-        "id_l", "id_r",
-        "zip_with(win_l, win_r, (x, y) -> int(x = y)) AS eq_win",
-        "zip_with(vals_l, vals_r, (x, y) -> int(x = y)) AS eq_val",
-        "aggregate(zip_with(vals_l, vals_r, (x, y) -> if(x = y, 1, 0)), 0,"
-        " (acc, v) -> acc + v) / cast(size(vals_l) as double) AS j_est_vals",
-    ).collect()
-    assert len(pairs) == 3
-    for r in pairs:
-        assert r["eq_win"] == r["eq_val"], (r["id_l"], r["id_r"])
-        assert abs(r["j_est_vals"] - sum(r["eq_win"]) / 32) < 1e-12
-    # the near-dup pair must show high value-level agreement, the unrelated
-    # pair low — the float surface carries the same signal
-    jmap = {(r["id_l"], r["id_r"]): r["j_est_vals"] for r in pairs}
-    assert jmap[(0, 1)] > 0.5 > jmap[(0, 2)]
-
-    with pytest.raises(ValueError, match="SuperMinHash surface"):
-        make_superminhash_values_udf(DedupConfig(algo="optdens"))
-
-
 def test_setsketch_mle_b1_close_on_moderate_j():
     p = SetSketchParams(m=4096)
     va = np.arange(0, 10_000, dtype=np.int64).astype(U64)
