@@ -65,17 +65,22 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
         ).mode("overwrite").save()
     except Exception:
         pass
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        try:
-            # min of 2 passes: this microVM has ~2x run-to-run swings
-            # (BENCH/BASELINE.md protocol), and the recorded number should
-            # reflect steady-state, not a page-cache hiccup
-            walls = [_time_query(qs[name](spark, sf_dir)) for _ in range(2)]
-            timings[name] = round(min(walls), 3)
-        except Exception as exc:  # pragma: no cover
-            timings[name] = -1.0
-            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+    # INTERLEAVED min-of-N (r4 noise protocol): run the whole query list N
+    # times in round-robin rather than each query's reps back-to-back.  A
+    # transient host stall (this microVM swings ~2x) then lands in ONE rep
+    # of MANY queries — which the per-query min discards — instead of both
+    # reps of ONE query, so round-over-round deltas isolate code effects.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    walls: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            try:
+                walls[name].append(_time_query(qs[name](spark, sf_dir)))
+            except Exception as exc:  # pragma: no cover
+                print(f"bench query {name} failed: {exc}", file=sys.stderr)
+    timings: dict[str, float] = {
+        name: (round(min(w), 3) if w else -1.0) for name, w in walls.items()
+    }
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
     sha_kps = _sha_kernel_throughput()
@@ -133,7 +138,9 @@ def _scaling_corpus(n_files: int) -> str:
     return path
 
 
-def _dedup_wall_clock(master: str, corpus_path: str, shuffle_partitions: int) -> dict:
+def _dedup_wall_clock(
+    master: str, corpus_path: str, shuffle_partitions: int, reps: int = 4
+) -> dict:
     """sketch+band+candidates+verify wall clock (no checkpoint IO, no
     clustering driver loop — the throughput-bound stages)."""
     from probminhash_spark.config import DedupConfig
@@ -152,11 +159,15 @@ def _dedup_wall_clock(master: str, corpus_path: str, shuffle_partitions: int) ->
     # warm-up: one full pass so every reused Python worker has touched its
     # arena; then min of 3 timed passes (steady-state — 100 TB executors are
     # long-lived; this microVM has heavy run-to-run variance)
-    dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
-    walls = []
-    for _ in range(4):
-        t0 = time.time()
+    from probminhash_spark.operators.cache import cache_scope
+
+    with cache_scope():
         dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        with cache_scope():
+            dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
         walls.append(time.time() - t0)
     wall = min(walls)
     spark.stop()
@@ -165,14 +176,14 @@ def _dedup_wall_clock(master: str, corpus_path: str, shuffle_partitions: int) ->
             "files_per_sec": round(n / wall, 1)}
 
 
-def run_scaling(n_files: int) -> dict:
+def run_scaling(n_files: int, reps: int = 4) -> dict:
     """Two N->4N pairs on the same input (BASELINE.md sandbox protocol):
     2->8 cores (below the microVM's ~10 GB/s memory-bandwidth ceiling, the
     honest analogue of adding executors) and 8->32 (documents the ceiling)."""
     corpus = _scaling_corpus(n_files)
-    t2 = _dedup_wall_clock("local[2]", corpus, 4)
-    t8 = _dedup_wall_clock("local[8]", corpus, 16)
-    t32 = _dedup_wall_clock("local[32]", corpus, 64)
+    t2 = _dedup_wall_clock("local[2]", corpus, 4, reps)
+    t8 = _dedup_wall_clock("local[8]", corpus, 16, reps)
+    t32 = _dedup_wall_clock("local[32]", corpus, 64, reps)
     eff_2_8 = (t2["wall_sec"] / t8["wall_sec"]) / 4.0
     eff_8_32 = (t8["wall_sec"] / t32["wall_sec"]) / 4.0
     out = {
@@ -192,9 +203,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-files", type=int, default=20000)
+    ap.add_argument("--scaling-reps", type=int, default=4)
     args = ap.parse_args()
     if args.scaling:
-        print(json.dumps(run_scaling(args.scaling_files)))
+        print(json.dumps(run_scaling(args.scaling_files, args.scaling_reps)))
         return 0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
