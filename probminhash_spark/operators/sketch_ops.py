@@ -188,6 +188,7 @@ def group_band_candidates(
     cfg: DedupConfig,
     key_col: str,
     band_rows: int = 4,
+    n_bands: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """LSH banding over group UNION REGISTER vectors -> candidate group
     pairs (the scale path for :func:`group_jaccard`'s many-groups regime).
@@ -198,15 +199,18 @@ def group_band_candidates(
     ``xxhash64(band_id, the band's 2 x band_rows register bytes)`` and two
     groups collide on a band iff those ``band_rows`` registers are all
     equal — collision probability j_est^band_rows per band, with
-    ``m / band_rows`` bands.  Candidate volume is bounded by the shared
-    bucket-capped expansion (``candidate_pairs``) instead of the G^2/2
-    cartesian of the broadcast path.
+    ``n_bands`` bands (default every register run, m / band_rows; cap it to
+    bound the fan-out at huge group counts — recall at similarity t is
+    1-(1-t^band_rows)^n_bands, so e.g. 128 bands already give > 0.999 at
+    t=0.5, r=4).  Candidate volume is bounded by the shared bucket-capped
+    expansion (``candidate_pairs``) instead of the G^2/2 cartesian of the
+    broadcast path.
 
     Returns (pairs (key_l, key_r), capped_buckets audit frame).
     """
     m = cfg.setsketch_m
     r = int(band_rows)
-    nb = m // r
+    nb = m // r if n_bands is None else min(int(n_bands), m // r)
     bands_expr = (
         "transform(sequence(0, {nb} - 1), b -> named_struct("
         "'band_id', b, 'band_key', xxhash64(b, substring(union_regs,"
@@ -233,6 +237,7 @@ def group_jaccard(
     threshold: float = 0.0,
     mode: str = "auto",
     band_rows: int = 4,
+    n_bands: int | None = None,
     broadcast_limit: int = 4096,
     on_capped: str = "star",
 ) -> DataFrame:
@@ -291,7 +296,9 @@ def group_jaccard(
                 "group_jaccard(mode='banded') needs threshold > 0: banding "
                 "can only find pairs above a similarity level, not list all"
             )
-        cand, capped = group_band_candidates(group_sketches, cfg, key_col, band_rows)
+        cand, capped = group_band_candidates(
+            group_sketches, cfg, key_col, band_rows, n_bands
+        )
         if on_capped == "fail":
             hit = capped.limit(1).collect()
             if hit:

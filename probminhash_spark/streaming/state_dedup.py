@@ -65,3 +65,97 @@ def dedup_first_seen(files: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# band-keyed stateful NEAR-dup candidates
+# ---------------------------------------------------------------------------
+
+PAIR_SCHEMA = "id_l long, id_r long, band_id int"
+BAND_STATE_SCHEMA = "ids array<bigint>"
+
+
+def _make_band_collider(bucket_cap: int):
+    def collide(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        old = np.asarray(state.get[0] if state.exists else [], dtype=np.int64)
+        new_parts = [pdf["doc_id"].to_numpy(dtype=np.int64) for pdf in pdfs]
+        new = (
+            np.unique(np.concatenate(new_parts))
+            if new_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        new = np.setdiff1d(new, old, assume_unique=False)
+        if new.size == 0:
+            return
+        band_id = int(key[0])
+        total = old.size + new.size
+        if total <= bucket_cap:
+            # full expansion: new x old + new x new (id_l < id_r)
+            l_no = np.repeat(new, old.size)
+            r_no = np.tile(old, new.size)
+            iu = np.triu_indices(new.size, k=1)
+            l_all = np.concatenate([np.minimum(l_no, r_no), new[iu[0]]])
+            r_all = np.concatenate([np.maximum(l_no, r_no), new[iu[1]]])
+        else:
+            # star policy (same skew contract as candidate_pairs): every new
+            # member pairs with the bucket's min id only — bounded O(new)
+            anchor = min(
+                int(old.min()) if old.size else np.iinfo(np.int64).max,
+                int(new.min()),
+            )
+            members = new[new != anchor]
+            l_all = np.minimum(members, anchor)
+            r_all = np.maximum(members, anchor)
+        if l_all.size:
+            yield pd.DataFrame(
+                {"id_l": l_all, "id_r": r_all, "band_id": band_id}
+            )
+        # bounded state: at most bucket_cap + 1 ids per key (past the cap
+        # only the min anchor matters, so further growth is clipped)
+        merged = np.union1d(old, new)
+        if merged.size > bucket_cap + 1:
+            merged = merged[: bucket_cap + 1]
+        state.update((merged.tolist(),))
+
+    return collide
+
+
+def stateful_band_candidates(files: DataFrame, cfg) -> DataFrame:
+    """Streaming near-dup CANDIDATE pairs with engine-managed band state —
+    the point-lookup complement to :class:`StreamingDeduper`'s parquet LSM.
+
+    sketch (pandas UDF) -> native band explode -> ``applyInPandasWithState``
+    keyed by (band_id, band_key): the state store holds the doc ids seen per
+    band bucket, so each micro-batch loads state ONLY for the keys present
+    in the batch (with the RocksDB state store provider that is a true point
+    lookup — per-batch I/O proportional to the new data, the property the
+    parquet layout can only approximate with bucket pruning).  Emits each
+    (new doc, stored doc) and (new, new) collision as a candidate pair with
+    its band id; buckets past ``cfg.bucket_cap`` degrade to the star policy
+    like ``candidate_pairs``.
+
+    All bands of a new doc arrive in the same micro-batch, so aggregating
+    pairs batch-locally (e.g. ``foreachBatch`` -> groupBy pair ->
+    countDistinct(band_id) / cfg.bands) reproduces the band-hit-rate
+    estimate exactly; downstream verification joins content as usual.
+    Input columns: (repo, path, commit, lang, content).
+    """
+    from ..functions.sketch_udfs import make_sketch_udf
+    from ..operators.dedup import band_explode, with_doc_id
+
+    sketch = make_sketch_udf(cfg)
+    sigs = with_doc_id(files, ["repo", "path", "commit"]).select(
+        "doc_id", sketch(F.col("content")).alias("sig")
+    )
+    bands = band_explode(sigs, cfg)
+    return bands.groupBy("band_id", "band_key").applyInPandasWithState(
+        _make_band_collider(cfg.bucket_cap),
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -638,3 +638,53 @@ def test_windowed_counts_watermark_drops_late_data(spark, tmp_path):
     assert len(first2) == 1 and int(first2.n_events.iloc[0]) == 3  # unchanged
     one_oclock = got2[got2.window_start == base + dt.timedelta(minutes=60)]
     assert len(one_oclock) == 1 and int(one_oclock.n_events.iloc[0]) == 1
+
+
+def test_stateful_band_candidates_find_cross_batch_dups(spark, tmp_path):
+    """Band-keyed applyInPandasWithState candidates: the engine state store
+    holds per-bucket member ids, so a duplicate arriving batches later still
+    collides with its stored partner — every verified near-dup pair from the
+    batch pipeline must appear among the streamed candidates."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.corpus import generate_files
+    from probminhash_spark.operators.cache import cache_scope
+    from probminhash_spark.operators.dedup import dedup_edges
+    from probminhash_spark.streaming.state_dedup import stateful_band_candidates
+
+    cfg = DedupConfig()
+    files = generate_files(n_files=60, n_clusters=6, seed=17)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    out_dir = tmp_path / "pairs_out"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stateful_band_candidates(stream, cfg)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    files.iloc[::2].to_parquet(src / "wave1.parquet")
+    drain()  # wave 1: state seeded
+    files.iloc[1::2].to_parquet(src / "wave2.parquet")
+    drain()  # wave 2: resumes the SAME state store from the checkpoint
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in spark.read.parquet(str(out_dir)).select("id_l", "id_r").collect()
+    }
+
+    with cache_scope():
+        edges = dedup_edges(
+            spark.createDataFrame(files), cfg, key_cols=["repo", "path", "commit"]
+        )
+        true_pairs = {(r["id_l"], r["id_r"]) for r in edges.collect()}
+    assert true_pairs, "corpus should contain planted near-dups"
+    missing = true_pairs - got
+    assert not missing, f"stateful candidates missed true dup pairs: {missing}"
