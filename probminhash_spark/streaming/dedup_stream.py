@@ -163,30 +163,59 @@ class StreamingDeduper:
             fs.delete(path, True)
 
     # ---------------------------------------------------------- manifest ---
+    #
+    # Versioned commit log, never overwrite-in-place: each compaction writes
+    # a NEW manifest-{through}.json and readers take the highest parseable
+    # one.  A crash mid-write therefore tears only the not-yet-referenced
+    # newest file — the previous manifest (and the deltas it still covers,
+    # which are only reclaimed AFTER the manifest lands) stay intact, and
+    # the retried compaction rewrites the same name.
+
+    def _manifest_files(self) -> list[str]:
+        statuses = self._fs().globStatus(
+            self._hpath(f"{self._compact_path()}/manifest-*.json")
+        )
+        if statuses is None:
+            return []
+        return sorted(str(st.getPath().toUri()) for st in statuses)
 
     def _read_manifest(self) -> dict | None:
         """{"through": W, "segments": [name, ...]} or None before the first
-        compaction.  Readers trust only this — a crash can leave orphan
-        segment dirs, never a torn read."""
+        compaction.  Readers trust only the manifest log — orphan segment
+        dirs from a crash are invisible; a torn newest file falls back to
+        the previous committed manifest."""
         fs = self._fs()
-        p = self._hpath(f"{self._compact_path()}/_CURRENT")
-        if not fs.exists(p):
-            return None
-        stream = fs.open(p)
-        try:
-            scanner = self.spark.sparkContext._jvm.java.util.Scanner(stream)
-            return json.loads(scanner.useDelimiter("\\A").next())
-        finally:
-            stream.close()
+        for path in reversed(self._manifest_files()):
+            stream = fs.open(self._hpath(path))
+            try:
+                scanner = self.spark.sparkContext._jvm.java.util.Scanner(stream)
+                text = scanner.useDelimiter("\\A").next() if scanner.hasNext() else ""
+                manifest = json.loads(text)
+                if "through" in manifest and "segments" in manifest:
+                    return manifest
+            except Exception:  # torn/corrupt newest: fall back one version
+                continue
+            finally:
+                stream.close()
+        return None
 
     def _write_manifest(self, through: int, segments: list[str]) -> None:
         fs = self._fs()
-        out = fs.create(self._hpath(f"{self._compact_path()}/_CURRENT"), True)
+        name = f"{self._compact_path()}/manifest-{int(through):020d}.json"
+        out = fs.create(self._hpath(name), True)
         try:
             payload = json.dumps({"through": int(through), "segments": segments})
             out.write(bytearray(payload.encode()))
         finally:
             out.close()
+        # GC superseded manifests (best-effort; readers always take the
+        # highest parseable version, so stragglers are harmless)
+        for path in self._manifest_files():
+            if not path.endswith(f"manifest-{int(through):020d}.json"):
+                try:
+                    fs.delete(self._hpath(path), False)
+                except Exception:  # pragma: no cover
+                    pass
 
     # -------------------------------------------------------- state reads ---
 

@@ -688,3 +688,44 @@ def test_stateful_band_candidates_find_cross_batch_dups(spark, tmp_path):
     assert true_pairs, "corpus should contain planted near-dups"
     missing = true_pairs - got
     assert not missing, f"stateful candidates missed true dup pairs: {missing}"
+
+
+def test_streaming_manifest_torn_write_falls_back(spark, tmp_path):
+    """The manifest is a versioned commit log: a torn newest file (crash
+    mid-write) must be invisible — readers fall back to the previous
+    committed manifest, under which the not-yet-reclaimed deltas are still
+    live, so no state is lost and processing continues."""
+    import pandas as pd
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.corpus import generate_files
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    files = generate_files(n_files=24, n_clusters=4, seed=37)
+    dedup = StreamingDeduper(
+        spark, DedupConfig(), str(tmp_path / "state"), compact_every=2
+    )
+    thirds = [files.iloc[i::3] for i in range(3)]
+    for b, part in enumerate(thirds):
+        dedup.process_batch(spark.createDataFrame(part), batch_id=b)
+    good = dedup._read_manifest()
+    assert good is not None and good["through"] == 1
+    # simulate a crash mid-write of the NEXT manifest version: torn JSON
+    torn = tmp_path / "state" / "bands_compact" / "manifest-00000000000000000099.json"
+    torn.write_text('{"through": 99, "seg')
+    assert dedup._read_manifest() == good, "torn manifest not skipped"
+    # a duplicate of compacted state must still be caught after the tear
+    re0 = thirds[0].copy()
+    re0["path"] = re0["path"] + "_again"
+    dedup.process_batch(spark.createDataFrame(re0), batch_id=3)
+    edges3 = (
+        spark.read.parquet(str(tmp_path / "state" / "edges"))
+        .where(F.col("batch_id") == 3)
+    )
+    assert edges3.count() >= len(re0)
+    # the next compaction supersedes and GCs the torn file
+    dedup.process_batch(spark.createDataFrame(thirds[1].assign(path=thirds[1]["path"] + "_x")), batch_id=4)
+    dedup.process_batch(spark.createDataFrame(thirds[2].assign(path=thirds[2]["path"] + "_x")), batch_id=5)
+    m = dedup._read_manifest()
+    assert m is not None and m["through"] >= 3
+    assert not torn.exists(), "superseded torn manifest not GC'd"
