@@ -999,6 +999,42 @@ def sketch_group_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_l", "key_r")
 
 
+def sketch_group_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-groups scale path for group Jaccard (r4): candidates from LSH
+    banding OVER THE UNION REGISTERS (register-equality IS j_est, so
+    register runs band exactly like minhash slots), then the same
+    three-estimator pass, filtered at the threshold.  Groups here are
+    random corpus partitions (pmod(doc_id, 8)), which share vocabulary and
+    so land above the threshold — exercising band collision + estimator
+    agreement end-to-end.  Rows-only (register-valued intermediates are not
+    SQL-expressible); banded ≡ broadcast equality is pytest-enforced at
+    1000 groups (tests/test_sketch_ops.py)."""
+    import pyspark.sql.functions as F
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.operators.sketch_ops import (
+        group_distinct_shingles,
+        group_jaccard,
+    )
+
+    _load(spark, sf_dir, "documents")
+    cfg = DedupConfig(setsketch_m=256)
+    docs = spark.table("documents").selectExpr(
+        "cast(pmod(doc_id, 8) as string) AS grp", "text AS content"
+    )
+    groups = group_distinct_shingles(docs, ["grp"], cfg)
+    out = group_jaccard(
+        groups, cfg, "grp", threshold=0.2, mode="banded", band_rows=4
+    )
+    return out.select(
+        "key_l",
+        "key_r",
+        F.round("j_est", 6).alias("j_est"),
+        F.round("j_mle", 6).alias("j_mle"),
+        F.round("j_mle_b1", 6).alias("j_mle_b1"),
+    ).orderBy("key_l", "key_r")
+
+
 def sketch_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy rollup of union sketches (S19 mergeability, second level):
     per-(lang, source) union sketches merge UP to per-lang unions without
@@ -1240,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ordminhash": sketch_ordminhash,
         "sketch_group_cardinality": sketch_group_cardinality,
         "sketch_group_jaccard": sketch_group_jaccard,
+        "sketch_group_jaccard_banded": sketch_group_jaccard_banded,
         "sketch_group_rollup": sketch_group_rollup,
         "multimodal_features": multimodal_features,
         "multimodal_byte_stats": multimodal_byte_stats,

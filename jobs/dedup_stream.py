@@ -1,0 +1,111 @@
+"""Streaming dedup job entry point.
+
+Run: spark-submit --py-files probminhash_spark.zip jobs/dedup_stream.py \
+        --input <dir watched for parquet files> --state <state dir> \
+        [--checkpoint <dir>] [--config run.json] [--master local[8]] \
+        [--continuous]
+
+Watches ``--input`` for arriving parquet files of the source-file table
+(repo, path, commit, lang, content) and runs the incremental near-dup
+pipeline (`StreamingDeduper`): each micro-batch is sketched, banded and
+joined against the accumulated LSM band state under ``--state``; verified
+duplicate edges land in ``<state>/edges/batch_id=K``.
+
+Default trigger is ``availableNow`` (drain what's there, then exit —
+cron-friendly, exactly the 100 TB backfill/ingest pattern); pass
+``--continuous`` for a long-running micro-batch loop.  State and checkpoint
+dirs may be any Hadoop-supported URI (hdfs://, s3a://, file://).
+
+Prints one JSON summary line after termination (availableNow mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from probminhash_spark.config import DedupConfig  # noqa: E402
+from probminhash_spark.session import get_spark  # noqa: E402
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir watched for parquet files")
+    ap.add_argument("--state", required=True, help="band/edge state dir (URI ok)")
+    ap.add_argument("--checkpoint", default=None, help="default: <state>/_checkpoint")
+    ap.add_argument(
+        "--config", default=None, help="DedupConfig JSON (inline string or file path)"
+    )
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--state-buckets", type=int, default=64)
+    ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument(
+        "--continuous",
+        action="store_true",
+        help="run until killed instead of draining available input and exiting",
+    )
+    args = ap.parse_args(argv)
+
+    if args.config:
+        raw = (
+            args.config
+            if args.config.lstrip().startswith("{")
+            else Path(args.config).read_text()
+        )
+        cfg = DedupConfig(**json.loads(raw))
+    else:
+        cfg = DedupConfig()
+    spark = get_spark(app_name="probminhash-dedup-stream", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    dedup = StreamingDeduper(
+        spark,
+        cfg,
+        args.state,
+        state_buckets=args.state_buckets,
+        compact_every=args.compact_every,
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(args.input)
+    checkpoint = args.checkpoint or f"{args.state.rstrip('/')}/_checkpoint"
+    t0 = time.time()
+    if args.continuous:
+        q = (
+            stream.writeStream.foreachBatch(dedup.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
+        return 0
+    q = dedup.attach(stream, checkpoint)
+    q.awaitTermination()
+    edges_n = 0
+    if dedup._edges_exist():
+        edges_n = spark.read.parquet(f"{dedup.state_dir}/edges").count()
+    manifest = dedup._read_manifest()
+    print(
+        json.dumps(
+            {
+                "state_dir": dedup.state_dir,
+                "duplicate_edges_total": edges_n,
+                "compacted_through": manifest["through"] if manifest else None,
+                "segments": manifest["segments"] if manifest else [],
+                "delta_batches": len(dedup._delta_batch_ids()),
+                "wall_clock_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
