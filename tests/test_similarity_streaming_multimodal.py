@@ -729,3 +729,52 @@ def test_streaming_manifest_torn_write_falls_back(spark, tmp_path):
     m = dedup._read_manifest()
     assert m is not None and m["through"] >= 3
     assert not torn.exists(), "superseded torn manifest not GC'd"
+
+
+def test_streaming_differential_vs_batch_oracle(spark, tmp_path):
+    """Randomized differential harness: a corpus ingested as random batches
+    (with a re-ingestion overlap and a replay, compaction firing
+    mid-sequence) must surface EVERY pair the batch pipeline verifies as a
+    duplicate — sketches are deterministic, so a batch-verified pair shares
+    a band, and the later member always finds the earlier one in LSM state
+    (or its own batch).  Streaming emits candidates-with-hit-rate (no exact
+    verify), so the relation is superset, plus edge-set uniqueness."""
+    import pandas as pd
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.corpus import generate_files
+    from probminhash_spark.operators.cache import cache_scope
+    from probminhash_spark.operators.dedup import dedup_edges
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    rng = np.random.default_rng(101)
+    files = generate_files(n_files=80, n_clusters=8, seed=101)
+    order = rng.permutation(len(files))
+    cuts = sorted(rng.choice(np.arange(1, len(files)), size=4, replace=False))
+    batches = [files.iloc[order[a:b]] for a, b in zip([0, *cuts], [*cuts, len(files)])]
+    # batch 5 re-ingests a slice of batch 0's docs verbatim (same doc ids)
+    batches.append(batches[0].iloc[: max(1, len(batches[0]) // 2)])
+
+    dedup = StreamingDeduper(
+        spark, DedupConfig(), str(tmp_path / "state"), compact_every=2,
+        max_segments=2, state_buckets=32,
+    )
+    for b, part in enumerate(batches):
+        dedup.process_batch(spark.createDataFrame(part), batch_id=b)
+        if b == 3:  # replay mid-sequence (after a compaction has fired)
+            dedup.process_batch(spark.createDataFrame(part), batch_id=b)
+
+    edges = spark.read.parquet(str(tmp_path / "state" / "edges"))
+    got_rows = edges.select("id_l", "id_r").collect()
+    got = {(r["id_l"], r["id_r"]) for r in got_rows}
+    assert len(got_rows) == len(got), "duplicate edge rows across batches"
+
+    with cache_scope():
+        oracle = dedup_edges(
+            spark.createDataFrame(files), DedupConfig(),
+            key_cols=["repo", "path", "commit"],
+        )
+        expect = {(r["id_l"], r["id_r"]) for r in oracle.collect()}
+    assert expect, "corpus should contain planted near-dups"
+    missing = expect - got
+    assert not missing, f"streaming missed batch-verified pairs: {missing}"
