@@ -78,12 +78,7 @@ def main(argv=None) -> int:
     checkpoint = args.checkpoint or f"{args.state.rstrip('/')}/_checkpoint"
     t0 = time.time()
     if args.continuous:
-        q = (
-            stream.writeStream.foreachBatch(dedup.process_batch)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        q.awaitTermination()
+        dedup.attach(stream, checkpoint, available_now=False).awaitTermination()
         return 0
     q = dedup.attach(stream, checkpoint)
     q.awaitTermination()

@@ -277,9 +277,11 @@ def group_jaccard(
     params = SetSketchParams(m=cfg.setsketch_m)
     group_sketches = pin(group_sketches)
     if mode == "auto":
+        # threshold check first: it short-circuits the count() (a full Spark
+        # job over the sketch+merge subtree) for the common all-pairs call
         mode = (
             "broadcast"
-            if group_sketches.count() <= broadcast_limit or threshold <= 0.0
+            if threshold <= 0.0 or group_sketches.count() <= broadcast_limit
             else "banded"
         )
     a = group_sketches.select(

@@ -123,6 +123,7 @@ class StreamingDeduper:
         self.last_candidate_input_rows: int | None = None
         self.last_state_files_scanned: int | None = None
         self.last_state_bytes_scanned: int | None = None
+        self._meta_checked = False
 
     def _bands_path(self) -> str:
         return f"{self.state_dir}/bands"
@@ -216,6 +217,55 @@ class StreamingDeduper:
                     fs.delete(self._hpath(path), False)
                 except Exception:  # pragma: no cover
                     pass
+
+    def _ensure_state_meta(self) -> None:
+        """Pin ``state_buckets`` to the state dir: the bucket layout of
+        everything already written is ``pmod(band_key, P_written)``, so
+        resuming with a different P would silently prune the WRONG dirs and
+        drop duplicate edges.  First writer records P; later instances must
+        match or fail loudly."""
+        if self._meta_checked:
+            return
+        fs = self._fs()
+        p = self._hpath(f"{self.state_dir}/_state_meta.json")
+        if fs.exists(p):
+            stream = fs.open(p)
+            try:
+                scanner = self.spark.sparkContext._jvm.java.util.Scanner(stream)
+                text = scanner.useDelimiter("\\A").next() if scanner.hasNext() else ""
+                meta = json.loads(text) if text else None
+            except Exception:
+                meta = None
+            finally:
+                stream.close()
+            if meta is None:
+                if self._state_exists():  # torn meta but live state: refuse
+                    raise RuntimeError(
+                        f"unreadable {self.state_dir}/_state_meta.json next to "
+                        "existing band state — cannot determine the bucket "
+                        "layout; restore the file or rebuild the state dir"
+                    )
+                # torn meta, no state yet: first batch crashed pre-write;
+                # fall through and rewrite
+            elif int(meta["state_buckets"]) != self.state_buckets:
+                raise ValueError(
+                    f"state dir {self.state_dir} was written with "
+                    f"state_buckets={meta['state_buckets']}; this instance "
+                    f"was configured with {self.state_buckets} — bucket "
+                    "pruning would read the wrong dirs and silently miss "
+                    "duplicates"
+                )
+            else:
+                self._meta_checked = True
+                return
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(
+                {"state_buckets": int(self.state_buckets)}
+            ).encode()))
+        finally:
+            out.close()
+        self._meta_checked = True
 
     # -------------------------------------------------------- state reads ---
 
@@ -366,10 +416,16 @@ class StreamingDeduper:
             self._write_segment(merged, merged_name)
             segments = [merged_name]
         self._write_manifest(through, segments)
-        # reclaim superseded state (the manifest no longer references it)
+        # reclaim superseded state (the manifest no longer references it).
+        # Sweep EVERY delta <= through, not just this round's pending list:
+        # a crash between a previous manifest flip and its reclaim loop
+        # leaves stale deltas at or below the watermark that no later
+        # pending set would ever cover (they are read-invisible — reads
+        # filter k > W — but would leak disk forever).
         fs = self._fs()
-        for k in pending:
-            self._delete_partition(self._bands_path(), k)
+        for k in self._delta_batch_ids():
+            if k <= through:
+                self._delete_partition(self._bands_path(), k)
         keep = {f"seg={s}" for s in segments}
         for d in self._glob_dirs(f"{self._compact_path()}/seg=*"):
             if d.rstrip("/").rsplit("/", 1)[1] not in keep:
@@ -379,6 +435,7 @@ class StreamingDeduper:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
+        self._ensure_state_meta()
         docs = with_doc_id(batch_df, ["repo", "path", "commit"])
         sigs = with_signature(docs, cfg).select("doc_id", "sig", "content")
         new_bands = (
@@ -495,11 +552,13 @@ class StreamingDeduper:
             except Exception:
                 pass
 
-    def attach(self, stream_df: DataFrame, checkpoint: str):
-        """Wire onto a streaming DataFrame of files; returns the query."""
-        return (
-            stream_df.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+    def attach(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
+        """Wire onto a streaming DataFrame of files; returns the query.
+        ``available_now=True`` drains what's there and stops (backfill /
+        cron pattern); ``False`` keeps the micro-batch loop running."""
+        writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

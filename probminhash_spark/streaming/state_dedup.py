@@ -101,13 +101,24 @@ def _make_band_collider(bucket_cap: int):
             l_all = np.concatenate([np.minimum(l_no, r_no), new[iu[0]]])
             r_all = np.concatenate([np.maximum(l_no, r_no), new[iu[1]]])
         else:
-            # star policy (same skew contract as candidate_pairs): every new
-            # member pairs with the bucket's min id only — bounded O(new)
+            # star policy (same skew contract as candidate_pairs): members
+            # pair with the bucket's min id only — bounded cost.  When the
+            # NEW doc becomes the anchor it must pair with the STORED
+            # members too (they connect to the rest of the bucket through
+            # the previous anchor, which the min-id-clipped state always
+            # retains), not just with other new docs — otherwise a new
+            # bucket-min doc emits zero candidates and its duplicates are
+            # silently lost.
             anchor = min(
                 int(old.min()) if old.size else np.iinfo(np.int64).max,
                 int(new.min()),
             )
-            members = new[new != anchor]
+            if new.size and anchor == int(new.min()) and (
+                old.size == 0 or anchor < int(old.min())
+            ):
+                members = np.concatenate([old, new[new != anchor]])
+            else:
+                members = new[new != anchor]
             l_all = np.minimum(members, anchor)
             r_all = np.maximum(members, anchor)
         if l_all.size:

@@ -778,3 +778,64 @@ def test_streaming_differential_vs_batch_oracle(spark, tmp_path):
     assert expect, "corpus should contain planted near-dups"
     missing = expect - got
     assert not missing, f"streaming missed batch-verified pairs: {missing}"
+
+
+def test_stateful_band_collider_star_pairs_new_anchor_with_stored():
+    """Regression (r4 self-review): in a capped bucket, a NEW doc whose id
+    becomes the bucket min must pair with the STORED members — the old star
+    branch paired only new-vs-anchor and emitted nothing when the anchor
+    itself was the only new doc."""
+    import pandas as pd
+
+    from probminhash_spark.streaming.state_dedup import _make_band_collider
+
+    class FakeState:
+        def __init__(self, ids=None):
+            self._ids = ids
+
+        @property
+        def exists(self):
+            return self._ids is not None
+
+        @property
+        def get(self):
+            return (self._ids,)
+
+        def update(self, value):
+            self._ids = value[0]
+
+    collide = _make_band_collider(bucket_cap=2)
+    state = FakeState()
+    out1 = list(collide((0, 7), iter([pd.DataFrame({"doc_id": [10, 20]})]), state))
+    assert {(r.id_l, r.id_r) for df in out1 for r in df.itertuples()} == {(10, 20)}
+    # doc 1 arrives: total 3 > cap, anchor=1 is NEW -> must pair with stored
+    out2 = list(collide((0, 7), iter([pd.DataFrame({"doc_id": [1]})]), state))
+    got = {(r.id_l, r.id_r) for df in out2 for r in df.itertuples()}
+    assert got == {(1, 10), (1, 20)}, got
+    # old anchor arrives-again case: doc 5 new, anchor stays 1 (stored)
+    out3 = list(collide((0, 7), iter([pd.DataFrame({"doc_id": [5]})]), state))
+    got3 = {(r.id_l, r.id_r) for df in out3 for r in df.itertuples()}
+    assert got3 == {(1, 5)}, got3
+
+
+def test_streaming_state_buckets_pinned_to_state_dir(spark, tmp_path):
+    """Regression (r4 self-review): resuming a state dir with a different
+    state_buckets would prune the wrong bucket dirs and silently miss
+    duplicates — the first writer records P and mismatched resumes fail."""
+    import pandas as pd
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.corpus import generate_files
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    files = generate_files(n_files=10, n_clusters=2, seed=43)
+    sdf = spark.createDataFrame(files)
+    d1 = StreamingDeduper(spark, DedupConfig(), str(tmp_path / "s"), state_buckets=64)
+    d1.process_batch(sdf, batch_id=0)
+    # same P resumes fine
+    d2 = StreamingDeduper(spark, DedupConfig(), str(tmp_path / "s"), state_buckets=64)
+    d2.process_batch(sdf.limit(3), batch_id=1)
+    # different P must fail loudly, before any read or write
+    d3 = StreamingDeduper(spark, DedupConfig(), str(tmp_path / "s"), state_buckets=128)
+    with pytest.raises(ValueError, match="state_buckets"):
+        d3.process_batch(sdf.limit(3), batch_id=2)
