@@ -170,3 +170,29 @@ def test_char_shingle_spans_slice_to_their_hash_preimage(spans_texts, k):
         # the slice hashes to the same value when shingled whole
         _, h3 = char_shingles([piece], k)
         assert h[i] in set(h3.tolist()), i
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=texts_strategy, w=st.integers(1, 4))
+def test_token_shingle_canonical_spans_match_python_join(texts, w):
+    """r4 canonical-key invariant: every returned (start, len) slices the
+    canonical buffer to exactly the window's tokens joined by 0x00 — the
+    byte key a python re-tokenization computes independently.  Exercises
+    the vectorized scatter-copy (cumsum offsets, short-doc windows,
+    multi-byte tokens) against a per-doc oracle."""
+    import re
+
+    d, h, s, ln, canon = token_shingles(texts, w, return_spans=True)
+    got_by_doc: dict[int, list[bytes]] = {}
+    for i in range(len(h)):
+        got_by_doc.setdefault(int(d[i]), []).append(bytes(canon[s[i] : s[i] + ln[i]]))
+    for i, t in enumerate(texts):
+        toks = re.findall(rb"[A-Za-z0-9_\x80-\xff]+", t.encode("utf-8", "surrogatepass"))
+        if not toks:
+            assert i not in got_by_doc
+            continue
+        if len(toks) < w:
+            expect = [b"\x00".join(toks)]
+        else:
+            expect = [b"\x00".join(toks[j : j + w]) for j in range(len(toks) - w + 1)]
+        assert sorted(got_by_doc.get(i, [])) == sorted(expect), (i, t)
