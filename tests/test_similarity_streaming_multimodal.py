@@ -839,3 +839,41 @@ def test_streaming_state_buckets_pinned_to_state_dir(spark, tmp_path):
     d3 = StreamingDeduper(spark, DedupConfig(), str(tmp_path / "s"), state_buckets=128)
     with pytest.raises(ValueError, match="state_buckets"):
         d3.process_batch(sdf.limit(3), batch_id=2)
+
+
+def test_streaming_compaction_sweeps_stale_crash_leftover_deltas(spark, tmp_path):
+    """Regression (r4 self-review): a crash between a manifest flip and its
+    reclaim loop leaves delta dirs at/below the watermark that no later
+    pending set covers — the next compaction must sweep them."""
+    import shutil
+
+    import pandas as pd
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.corpus import generate_files
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    files = generate_files(n_files=20, n_clusters=4, seed=47)
+    thirds = [files.iloc[i::4] for i in range(4)]
+    dedup = StreamingDeduper(
+        spark, DedupConfig(), str(tmp_path / "state"), compact_every=2
+    )
+    for b in range(3):
+        dedup.process_batch(spark.createDataFrame(thirds[b]), batch_id=b)
+    m = dedup._read_manifest()
+    assert m is not None and m["through"] == 1
+    # simulate the crash leftover: a delta dir at batch_id=0 (<= W) that the
+    # interrupted reclaim loop failed to delete
+    live = tmp_path / "state" / "bands" / "batch_id=2"
+    stale = tmp_path / "state" / "bands" / "batch_id=0"
+    shutil.copytree(live, stale)
+    assert 0 in dedup._delta_batch_ids()
+    # next compaction (after batches 3-4 make a new pending set) sweeps it
+    dedup.process_batch(spark.createDataFrame(thirds[3]), batch_id=3)
+    dedup.process_batch(
+        spark.createDataFrame(thirds[0].assign(path=thirds[0]["path"] + "_y")),
+        batch_id=4,
+    )
+    m2 = dedup._read_manifest()
+    assert m2 is not None and m2["through"] == 3
+    assert 0 not in dedup._delta_batch_ids(), "stale delta <= W not swept"
