@@ -51,6 +51,15 @@ def main(argv=None) -> int:
         action="store_true",
         help="run until killed instead of draining available input and exiting",
     )
+    ap.add_argument(
+        "--engine",
+        choices=["lsm", "state-store"],
+        default="lsm",
+        help="lsm: parquet band state with bucketed segments (inspectable "
+        "tables); state-store: applyInPandasWithState band state inside the "
+        "checkpoint (point lookups; pair with "
+        "spark.sql.streaming.stateStore.providerClass=...RocksDB... )",
+    )
     args = ap.parse_args(argv)
 
     if args.config:
@@ -77,6 +86,30 @@ def main(argv=None) -> int:
     stream = spark.readStream.schema(SCHEMA).parquet(args.input)
     checkpoint = args.checkpoint or f"{args.state.rstrip('/')}/_checkpoint"
     t0 = time.time()
+    if args.engine == "state-store":
+        from probminhash_spark.streaming.state_dedup import attach_stateful_dedup
+
+        edges_dir = f"{args.state.rstrip('/')}/edges"
+        q = attach_stateful_dedup(
+            stream, cfg, edges_dir, checkpoint,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
+        if args.continuous:
+            return 0
+        edges_n = spark.read.parquet(edges_dir).count()
+        print(
+            json.dumps(
+                {
+                    "engine": "state-store",
+                    "state_dir": args.state.rstrip("/"),
+                    "duplicate_edges_total": edges_n,
+                    "wall_clock_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        spark.stop()
+        return 0
     if args.continuous:
         dedup.attach(stream, checkpoint, available_now=False).awaitTermination()
         return 0

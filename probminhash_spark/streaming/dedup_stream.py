@@ -90,6 +90,11 @@ class StreamingDeduper:
     HDFS/S3A state as absent), so ``state_dir`` may be any Hadoop-supported
     URI (``file:///``, ``hdfs://``, ``s3a://``...).
 
+    Single-writer: one streaming query owns a state dir (the checkpoint
+    already serializes its batches).  Pointing two concurrent jobs at the
+    same ``state_dir`` is unsupported — compaction would race the other
+    writer's reads.
+
     Idempotent on replays: a retried micro-batch deletes + overwrites
     exactly its own partition (explicit delete first, so a replay that
     produces ZERO rows still clears a failed attempt's stale partition) and
