@@ -150,27 +150,36 @@ def _dedup_wall_clock(
     spark = get_spark(
         app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle_partitions
     )
-    spark.sparkContext.setLogLevel("ERROR")
-    ncores = int(master.split("[")[1].rstrip("]"))
-    files = with_doc_id(spark.read.parquet(corpus_path), ["repo", "path", "commit"])
-    files = files.repartition(ncores * 2).cache()
-    n = files.count()
-    cfg = DedupConfig()
-    # warm-up: one full pass so every reused Python worker has touched its
-    # arena; then min of 3 timed passes (steady-state — 100 TB executors are
-    # long-lived; this microVM has heavy run-to-run variance)
-    from probminhash_spark.operators.cache import cache_scope
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        ncores = int(master.split("[")[1].rstrip("]"))
+        files = with_doc_id(
+            spark.read.parquet(corpus_path), ["repo", "path", "commit"]
+        )
+        files = files.repartition(ncores * 2).cache()
+        n = files.count()
+        cfg = DedupConfig()
+        # warm-up: one full pass so every reused Python worker has touched
+        # its arena; then min of N timed passes (steady-state — 100 TB
+        # executors are long-lived; this microVM has heavy run-to-run
+        # variance)
+        from probminhash_spark.operators.cache import cache_scope
 
-    with cache_scope():
-        dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
-    walls = []
-    for _ in range(reps):
-        t0 = time.time()
         with cache_scope():
             dedup_edges(files, cfg).write.format("noop").mode("overwrite").save()
-        walls.append(time.time() - t0)
-    wall = min(walls)
-    spark.stop()
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            with cache_scope():
+                dedup_edges(files, cfg).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            walls.append(time.time() - t0)
+        wall = min(walls)
+    finally:
+        # always stop, even on a failed leg: a half-dead session left active
+        # would be silently reused (getOrCreate) by the retry/next leg
+        spark.stop()
     return {"master": master, "files": n, "wall_sec": round(wall, 2),
             "walls_all": [round(w, 2) for w in walls],
             "files_per_sec": round(n / wall, 1)}
@@ -181,9 +190,26 @@ def run_scaling(n_files: int, reps: int = 4) -> dict:
     2->8 cores (below the microVM's ~10 GB/s memory-bandwidth ceiling, the
     honest analogue of adding executors) and 8->32 (documents the ceiling)."""
     corpus = _scaling_corpus(n_files)
-    t2 = _dedup_wall_clock("local[2]", corpus, 4, reps)
-    t8 = _dedup_wall_clock("local[8]", corpus, 16, reps)
-    t32 = _dedup_wall_clock("local[32]", corpus, 64, reps)
+
+    def leg(master, parts):
+        # one retry per leg + per-leg progress line on stderr: local-mode
+        # session restarts occasionally race block-manager cleanup ("Block
+        # rdd_N does not exist"), and a 3-leg x ~30-min run should not lose
+        # its completed legs to one transient
+        for attempt in (1, 2):
+            try:
+                out = _dedup_wall_clock(master, corpus, parts, reps)
+                print(f"leg {master}: {out}", file=sys.stderr)
+                return out
+            except Exception as exc:  # pragma: no cover — transient flake
+                print(f"leg {master} attempt {attempt} failed: {exc}", file=sys.stderr)
+                if attempt == 2:
+                    raise
+                time.sleep(10)
+
+    t2 = leg("local[2]", 4)
+    t8 = leg("local[8]", 16)
+    t32 = leg("local[32]", 64)
     eff_2_8 = (t2["wall_sec"] / t8["wall_sec"]) / 4.0
     eff_8_32 = (t8["wall_sec"] / t32["wall_sec"]) / 4.0
     out = {
