@@ -74,22 +74,21 @@ def main(argv=None) -> int:
     spark = get_spark(app_name="probminhash-dedup-stream", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
-
-    dedup = StreamingDeduper(
-        spark,
-        cfg,
-        args.state,
-        state_buckets=args.state_buckets,
-        compact_every=args.compact_every,
-    )
     stream = spark.readStream.schema(SCHEMA).parquet(args.input)
-    checkpoint = args.checkpoint or f"{args.state.rstrip('/')}/_checkpoint"
     t0 = time.time()
     if args.engine == "state-store":
+        # engine-disjoint checkpoint + edges paths: the two engines keep
+        # different state (parquet LSM vs engine store) under different
+        # semantics, and sharing the LSM's file-source checkpoint would make
+        # a later --engine switch silently drain ZERO batches while
+        # reporting the other engine's edge counts
+        from probminhash_spark.streaming.dedup_stream import batch_partitions_exist
         from probminhash_spark.streaming.state_dedup import attach_stateful_dedup
 
-        edges_dir = f"{args.state.rstrip('/')}/edges"
+        checkpoint = (
+            args.checkpoint or f"{args.state.rstrip('/')}/_checkpoint_state_store"
+        )
+        edges_dir = f"{args.state.rstrip('/')}/edges_state_store"
         q = attach_stateful_dedup(
             stream, cfg, edges_dir, checkpoint,
             available_now=not args.continuous,
@@ -97,7 +96,11 @@ def main(argv=None) -> int:
         q.awaitTermination()
         if args.continuous:
             return 0
-        edges_n = spark.read.parquet(edges_dir).count()
+        edges_n = (
+            spark.read.parquet(edges_dir).count()
+            if batch_partitions_exist(spark, edges_dir)
+            else 0
+        )
         print(
             json.dumps(
                 {
@@ -110,6 +113,17 @@ def main(argv=None) -> int:
         )
         spark.stop()
         return 0
+
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    dedup = StreamingDeduper(
+        spark,
+        cfg,
+        args.state,
+        state_buckets=args.state_buckets,
+        compact_every=args.compact_every,
+    )
+    checkpoint = args.checkpoint or f"{args.state.rstrip('/')}/_checkpoint"
     if args.continuous:
         dedup.attach(stream, checkpoint, available_now=False).awaitTermination()
         return 0

@@ -21,6 +21,32 @@ from ..operators.dedup import band_explode, with_doc_id, with_signature
 _STATE_COLS = ["doc_id", "band_id", "band_key", "batch_id"]
 
 
+def delete_batch_partition(spark: SparkSession, base: str, batch_id: int) -> None:
+    """Drop ``base/batch_id=K`` via the Hadoop FileSystem API (works on
+    HDFS/S3A too).  Dynamic partition overwrite only rewrites partitions
+    PRESENT in the new data — a replay that computes zero rows would
+    otherwise leave a failed attempt's stale partition feeding downstream
+    reads.  Shared by both streaming engines."""
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(f"{base}/batch_id={int(batch_id)}")
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def batch_partitions_exist(spark: SparkSession, base: str) -> bool:
+    """True iff ``base`` holds at least one ``batch_id=K`` partition dir (an
+    all-empty write leaves only _SUCCESS behind, and reading it would fail
+    schema inference)."""
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(f"{base}/batch_id=*")
+    fs = sc._jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
+        sc._jsc.hadoopConfiguration()
+    )
+    statuses = fs.globStatus(path)
+    return bool(statuses) and any(st.isDirectory() for st in statuses)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",
@@ -158,15 +184,7 @@ class StreamingDeduper:
         return [str(st.getPath().toUri()) for st in statuses if st.isDirectory()]
 
     def _delete_partition(self, base: str, batch_id: int) -> None:
-        """Drop ``base/batch_id=K`` via the Hadoop FileSystem API (works on
-        HDFS/S3A too).  Dynamic partition overwrite only rewrites partitions
-        PRESENT in the new data — a replay that computes zero rows would
-        otherwise leave a failed attempt's stale partition feeding
-        downstream reads."""
-        path = self._hpath(f"{base}/batch_id={int(batch_id)}")
-        fs = self._fs()
-        if fs.exists(path):
-            fs.delete(path, True)
+        delete_batch_partition(self.spark, base, batch_id)
 
     # ---------------------------------------------------------- manifest ---
     #
@@ -287,9 +305,7 @@ class StreamingDeduper:
         return self._read_manifest() is not None or bool(self._delta_batch_ids())
 
     def _edges_exist(self) -> bool:
-        # require at least one batch PARTITION: an all-empty write leaves only
-        # _SUCCESS behind, and reading it would fail schema inference
-        return bool(self._glob_dirs(f"{self._edges_path()}/batch_id=*"))
+        return batch_partitions_exist(self.spark, self._edges_path())
 
     def _scan_metrics(self, dirs: list[str]) -> tuple[int, int]:
         fs = self._fs()

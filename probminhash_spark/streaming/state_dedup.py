@@ -172,16 +172,6 @@ def stateful_band_candidates(files: DataFrame, cfg) -> DataFrame:
     )
 
 
-def _delete_batch_partition(spark, base: str, batch_id: int) -> None:
-    """Drop ``base/batch_id=K`` via the Hadoop FS (replay hygiene — see
-    StreamingDeduper._delete_partition)."""
-    sc = spark.sparkContext
-    path = sc._jvm.org.apache.hadoop.fs.Path(f"{base}/batch_id={int(batch_id)}")
-    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
-
-
 def attach_stateful_dedup(
     files_stream: DataFrame,
     cfg,
@@ -196,10 +186,12 @@ def attach_stateful_dedup(
     Batch-local aggregation is exact: a pair is emitted only in the batch
     where its later member first arrives, and ALL of that member's bands are
     processed in that same batch — so ``countDistinct(band_id) / bands``
-    over one batch's pairs is the full hit rate, and the edge set is
-    duplicate-free across batches by construction.  Replays overwrite
-    exactly their own ``batch_id`` partition (delete-first, like
-    ``StreamingDeduper``).
+    over one batch's pairs is the full hit rate.  Edge uniqueness across
+    batches needs one guard: a doc evicted from a star-clipped bucket's
+    state and then RE-INGESTED would re-pair with the anchor, so each batch
+    anti-joins its edges against the prior partitions (the same guard
+    ``StreamingDeduper`` uses).  Replays overwrite exactly their own
+    ``batch_id`` partition (delete-first, like ``StreamingDeduper``).
 
     Compared to ``StreamingDeduper`` this keeps ALL band state in the
     engine's state store (point lookups with the RocksDB provider, verified
@@ -210,14 +202,26 @@ def attach_stateful_dedup(
     edges_dir = edges_dir.rstrip("/")
     cands = stateful_band_candidates(files_stream, cfg)
 
+    from .dedup_stream import batch_partitions_exist, delete_batch_partition
+
     def write_edges(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        edges = (
-            batch_df.groupBy("id_l", "id_r")
-            .agg((F.countDistinct("band_id") / cfg.bands).alias("band_hit_rate"))
-            .withColumn("batch_id", F.lit(int(batch_id)))
+        edges = batch_df.groupBy("id_l", "id_r").agg(
+            (F.countDistinct("band_id") / cfg.bands).alias("band_hit_rate")
         )
-        _delete_batch_partition(spark, edges_dir, batch_id)
+        if batch_partitions_exist(spark, edges_dir):
+            # re-ingested docs evicted from star-clipped bucket state would
+            # re-emit their anchor pair — drop anything already discovered
+            # by an earlier batch (failed attempts of THIS batch excluded:
+            # the replay rewrites its own partition)
+            prior = spark.read.parquet(edges_dir).where(
+                F.col("batch_id") != int(batch_id)
+            )
+            edges = edges.join(
+                prior.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+            )
+        edges = edges.withColumn("batch_id", F.lit(int(batch_id)))
+        delete_batch_partition(spark, edges_dir, batch_id)
         (
             edges.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

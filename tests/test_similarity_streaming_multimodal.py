@@ -960,3 +960,53 @@ def test_stateful_band_candidates_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_attach_stateful_dedup_no_duplicate_edges_after_clip_eviction(
+    spark, tmp_path
+):
+    """Regression (r4 second review): a doc evicted from a star-clipped
+    bucket's state re-pairs with the anchor when re-ingested — the per-batch
+    anti-join against prior edge partitions must drop the re-emission."""
+    import dataclasses
+
+    import pandas as pd
+
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.streaming.state_dedup import attach_stateful_dedup
+
+    # one cluster of 12 near-identical docs, bucket_cap=2 -> every shared
+    # band bucket star-caps and clips state to 3 ids
+    cfg = dataclasses.replace(DedupConfig(), bucket_cap=2)
+    base = " ".join(f"tok{i}" for i in range(300))
+    files = pd.DataFrame(
+        {
+            "repo": ["r"] * 12,
+            "path": [f"p{i}" for i in range(12)],
+            "commit": ["c"] * 12,
+            "lang": ["py"] * 12,
+            "content": [base + f" tail{i}" for i in range(12)],
+        }
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "repo string, path string, commit string, lang string, content string"
+    edges_dir = str(tmp_path / "edges")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = attach_stateful_dedup(stream, cfg, edges_dir, str(tmp_path / "ckpt"))
+        q.awaitTermination(180)
+
+    files.to_parquet(src / "w1.parquet")
+    drain()
+    n1 = spark.read.parquet(edges_dir).count()
+    assert n1 > 0
+    files.to_parquet(src / "w2.parquet")  # verbatim re-ingestion
+    drain()
+    edges = spark.read.parquet(edges_dir)
+    rows = edges.select("id_l", "id_r").collect()
+    pairs = {(r["id_l"], r["id_r"]) for r in rows}
+    assert len(rows) == len(pairs), (
+        f"re-ingestion re-emitted {len(rows) - len(pairs)} duplicate edges"
+    )
