@@ -13,6 +13,13 @@ import json
 from dataclasses import asdict, dataclass, field
 
 
+# Bump when the signature/band-key IDENTITY regime changes (what counts as
+# "the same shingle", how elements are digested, how band keys derive from
+# slots) — round 4's switch of token+sha shingles to canonical 0x00-joined
+# byte digests was such a change.  Persisted streaming band state written
+# under a different regime can never match new keys, so resume must refuse.
+KEY_REGIME_VERSION = 2
+
 # signature algorithms reachable from the Spark surface; each maps to a
 # vectorized kernel in kernels/ (dispatch: functions/sketch_udfs._sketch_batch_np)
 _ALGOS = frozenset(
@@ -84,6 +91,29 @@ class DedupConfig:
     def fingerprint(self) -> str:
         """Stable hash of the config — manifests key resume-safety on it."""
         return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    def sketch_identity(self) -> str:
+        """Hash of ONLY the fields that determine signature / band-key
+        identity — not thresholds or verify knobs, which may legitimately
+        change between resumes of the same state.  Persisted streaming band
+        state is keyed on this: resuming under a different identity would
+        produce band keys that never match history, silently missing every
+        cross-upgrade duplicate (r5 ADVICE medium)."""
+        ident = {
+            "key_regime": KEY_REGIME_VERSION,
+            "shingle_mode": self.shingle_mode,
+            "shingle_size": self.shingle_size,
+            "algo": self.algo,
+            "num_hashes": self.num_hashes,
+            "hasher": self.hasher,
+            "weighted": self.weighted,
+            "sig_bits": self.sig_bits,
+            "bands": self.bands,
+            "rows": self.rows,
+        }
+        return hashlib.sha256(
+            json.dumps(ident, sort_keys=True).encode()
+        ).hexdigest()[:16]
 
 
 @dataclass(frozen=True)

