@@ -1023,8 +1023,12 @@ def sketch_group_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(pmod(doc_id, 8) as string) AS grp", "text AS content"
     )
     groups = group_distinct_shingles(docs, ["grp"], cfg)
+    # on_capped='fail': repo convention — recorded queries never silently
+    # star-cap (a capped register bucket would drop pairs and diverge from
+    # the broadcast-equivalent answer this docstring promises)
     out = group_jaccard(
-        groups, cfg, "grp", threshold=0.2, mode="banded", band_rows=4
+        groups, cfg, "grp", threshold=0.2, mode="banded", band_rows=4,
+        on_capped="fail",
     )
     return out.select(
         "key_l",

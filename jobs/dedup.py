@@ -59,9 +59,14 @@ def main(argv=None) -> int:
     else:
         files = spark.read.parquet(args.input)
 
+    from probminhash_spark.operators.cache import cache_scope
     from probminhash_spark.pipeline.dedup_pipeline import run_pipeline
 
-    summary = run_pipeline(spark, files, cfg, args.output)
+    # build + execute inside one cache scope: operator-internal persists are
+    # released on exit, so a long-lived daemon reusing this module holds no
+    # residual cached relations between runs
+    with cache_scope():
+        summary = run_pipeline(spark, files, cfg, args.output)
     summary["wall_clock_sec"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()

@@ -39,7 +39,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="dir watched for parquet files")
     ap.add_argument("--state", required=True, help="band/edge state dir (URI ok)")
-    ap.add_argument("--checkpoint", default=None, help="default: <state>/_checkpoint")
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="default: <state>/_checkpoint (per-engine); explicit paths get "
+        "an engine=<engine> suffix so the engines never share a checkpoint",
+    )
     ap.add_argument(
         "--config", default=None, help="DedupConfig JSON (inline string or file path)"
     )
@@ -61,6 +66,17 @@ def main(argv=None) -> int:
         "spark.sql.streaming.stateStore.providerClass=...RocksDB... )",
     )
     args = ap.parse_args(argv)
+
+    # Engine-disjoint checkpoints even when --checkpoint is user-supplied:
+    # the two engines keep different state under different semantics, and a
+    # file-source checkpoint reused across an --engine switch would silently
+    # drain ZERO batches while reporting the other engine's edge counts.
+    # Default paths were already disjoint; suffix explicit ones the same way.
+    user_ckpt = (
+        f"{args.checkpoint.rstrip('/')}/engine={args.engine}"
+        if args.checkpoint
+        else None
+    )
 
     if args.config:
         raw = (
@@ -86,7 +102,7 @@ def main(argv=None) -> int:
         from probminhash_spark.streaming.state_dedup import attach_stateful_dedup
 
         checkpoint = (
-            args.checkpoint or f"{args.state.rstrip('/')}/_checkpoint_state_store"
+            user_ckpt or f"{args.state.rstrip('/')}/_checkpoint_state_store"
         )
         edges_dir = f"{args.state.rstrip('/')}/edges_state_store"
         q = attach_stateful_dedup(
@@ -123,7 +139,7 @@ def main(argv=None) -> int:
         state_buckets=args.state_buckets,
         compact_every=args.compact_every,
     )
-    checkpoint = args.checkpoint or f"{args.state.rstrip('/')}/_checkpoint"
+    checkpoint = user_ckpt or f"{args.state.rstrip('/')}/_checkpoint"
     if args.continuous:
         dedup.attach(stream, checkpoint, available_now=False).awaitTermination()
         return 0

@@ -54,6 +54,44 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
+class _CheckpointHandle:
+    """Scope-release adapter for a localCheckpointed frame: its storage is a
+    directly-persisted RDD (LogicalRDD), invisible to ``DataFrame.unpersist``
+    (which goes through the SQL CacheManager), so release must unpersist the
+    plan's RDD itself."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        release_local_checkpoint(self._df)
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's block storage NOW.  Only safe once nothing
+    will re-execute a plan referencing it: the checkpoint truncated the
+    lineage, so the blocks cannot be recomputed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # session stopped / non-classic plan — nothing to free
+        pass
+
+
+def pin_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint()`` (eager) + register the checkpoint's storage
+    with the innermost active :func:`cache_scope` for release at scope exit
+    — the checkpoint analogue of :func:`pin`, needed because iterative
+    operators (connected components) checkpoint per round and the blocks
+    otherwise linger until the ContextCleaner happens to GC them."""
+    ck = df.localCheckpoint()
+    scopes = _scopes()
+    if scopes:
+        scopes[-1].append(_CheckpointHandle(ck))
+    return ck
+
+
 @contextmanager
 def cache_scope():
     """Release every operator-internal persist pinned inside the block once

@@ -17,6 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .cache import pin_local_checkpoint, release_local_checkpoint
+
 
 def _canon(edges: DataFrame) -> DataFrame:
     return (
@@ -67,16 +69,24 @@ def connected_components(
     (see :func:`assign_clusters`).
     """
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    e = e.localCheckpoint()
+    # checkpoints route through the cache module: the FINAL round's blocks
+    # must outlive this call (the returned plan reads them), so they release
+    # at the consumer's cache_scope exit; each SUPERSEDED round is released
+    # eagerly below — an iterative loop holds two frontiers, not max_iter
+    e = pin_local_checkpoint(e)
     if algorithm == "label_prop":
         return _label_prop(e, max_iterations)
     prev_sig = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        sig_row = e.select(
+        new_e = pin_local_checkpoint(_small_star(_large_star(e)))
+        sig_row = new_e.select(
             F.count("*").alias("cnt"),
             F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("chk"),
         ).collect()[0]
+        # new_e is materialized (eager checkpoint): the previous round's
+        # blocks are unreferenced from here on
+        release_local_checkpoint(e)
+        e = new_e
         sig = (sig_row["cnt"], sig_row["chk"])
         if sig == prev_sig:
             break
@@ -97,21 +107,20 @@ def _label_prop(e: DataFrame, max_iterations: int) -> DataFrame:
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    labels = nodes.withColumn("component", F.col("id")).localCheckpoint()
+    labels = pin_local_checkpoint(nodes.withColumn("component", F.col("id")))
     both = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    both = both.localCheckpoint()
+    both = pin_local_checkpoint(both)
     for _ in range(max_iterations):
         neigh = (
             both.join(labels, both["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        new_labels = pin_local_checkpoint(
             labels.join(neigh, labels["id"] == neigh["src"], "left")
             .select(
                 "id", F.least(F.col("component"), F.coalesce("nmin", "component")).alias("component")
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -119,6 +128,8 @@ def _label_prop(e: DataFrame, max_iterations: int) -> DataFrame:
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # `changed` was the last reader of the previous labels round
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             return labels

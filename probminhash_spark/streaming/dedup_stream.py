@@ -358,6 +358,15 @@ class StreamingDeduper:
     # ------------------------------------------------------------ batches ---
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # one cache scope per micro-batch: any operator-internal pin made
+        # while building this batch's plans is released when the batch
+        # commits — a continuously-running stream never accumulates pins
+        from ..operators.cache import cache_scope
+
+        with cache_scope():
+            self._process_batch_scoped(batch_df, batch_id)
+
+    def _process_batch_scoped(self, batch_df: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
         self._ensure_state_meta()
         docs = with_doc_id(batch_df, ["repo", "path", "commit"])

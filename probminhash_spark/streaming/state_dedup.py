@@ -215,7 +215,13 @@ def attach_stateful_dedup(
         prune_prior_edges,
     )
 
+    from ..operators.cache import cache_scope
+
     def write_edges(batch_df: DataFrame, batch_id: int) -> None:
+        with cache_scope():
+            _write_edges_scoped(batch_df, batch_id)
+
+    def _write_edges_scoped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         eidx = edges_index_lsm(spark, idx_base, buckets=index_buckets)
         raw = batch_df.groupBy("id_l", "id_r").agg(

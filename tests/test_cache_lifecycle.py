@@ -79,3 +79,35 @@ def test_cache_scopes_nest_independently(spark, docs):
         # inner scope released only its own pin
         assert _n_cached(spark) == 1
     assert _n_cached(spark) == 0
+
+
+def test_batch_job_surface_leaves_no_cached_relations(spark, tmp_path, monkeypatch):
+    """r5 (r4 verdict task #6): the JOB surfaces wrap build+write in
+    cache_scope() themselves — a long-lived daemon importing jobs/dedup.py
+    and invoking main() repeatedly must hold zero residual cached relations
+    between runs."""
+    import jobs.dedup as job
+
+    monkeypatch.setattr(job, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)  # shared test session
+    spark.catalog.clearCache()
+    rc = job.main(
+        ["--input", "synthetic:40", "--output", str(tmp_path / "out")]
+    )
+    assert rc == 0
+    assert _n_cached(spark) == 0, "job surface leaked persisted relations"
+
+
+def test_streaming_batch_loop_leaves_no_cached_relations(spark, tmp_path):
+    """Each micro-batch of the LSM engine runs inside its own cache scope —
+    a continuous stream never accumulates pins."""
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    spark.catalog.clearCache()
+    files = generate_files(n_files=30, n_clusters=3, seed=11)
+    dedup = StreamingDeduper(
+        spark, DedupConfig(), str(tmp_path / "state"), state_buckets=16
+    )
+    for b in range(2):
+        dedup.process_batch(spark.createDataFrame(files), batch_id=b)
+        assert _n_cached(spark) == 0, f"batch {b} leaked cached relations"
