@@ -57,6 +57,17 @@ def main(argv=None) -> int:
         help="run until killed instead of draining available input and exiting",
     )
     ap.add_argument(
+        "--ttl",
+        default=None,
+        help="state-store engine only, requires --continuous: sliding dedup "
+        "window (e.g. '6 hours') — band buckets idle past it are evicted, "
+        "bounding checkpoint state on unbounded streams; a post-window "
+        "re-ingestion can re-pair (already-emitted pairs are still dropped "
+        "by the edges index).  Continuous-only because pending processing-"
+        "time timers keep an availableNow drain scheduling empty batches "
+        "instead of terminating",
+    )
+    ap.add_argument(
         "--engine",
         choices=["lsm", "state-store"],
         default="lsm",
@@ -66,6 +77,13 @@ def main(argv=None) -> int:
         "spark.sql.streaming.stateStore.providerClass=...RocksDB... )",
     )
     args = ap.parse_args(argv)
+    if args.ttl and args.engine != "state-store":
+        ap.error("--ttl applies to --engine state-store only (the LSM "
+                 "engine's state is external parquet; prune it by compaction)")
+    if args.ttl and not args.continuous:
+        ap.error("--ttl requires --continuous: a TTL'd query holds pending "
+                 "processing-time timers, so an availableNow drain never "
+                 "self-terminates")
 
     # Engine-disjoint checkpoints even when --checkpoint is user-supplied:
     # the two engines keep different state under different semantics, and a
@@ -108,6 +126,7 @@ def main(argv=None) -> int:
         q = attach_stateful_dedup(
             stream, cfg, edges_dir, checkpoint,
             available_now=not args.continuous,
+            ttl=args.ttl,
         )
         q.awaitTermination()
         if args.continuous:

@@ -57,6 +57,12 @@ class DedupConfig:
     threshold: float = 0.8  # exact-Jaccard dedup threshold
     est_low_cut: float = 0.5  # discard pairs whose estimated J is below this
     verify_exact: bool = True  # re-shingle + exact Jaccard on survivors
+    # Verify once per byte-identical content CLASS (sha256) instead of once
+    # per pair: dup-dense corpora connect the same contents through many
+    # pairs, so the expensive re-shingle UDF and the content join shrink
+    # from O(pairs) to O(distinct class pairs).  Output is value-identical
+    # (equal bytes => equal Jaccard).  False = legacy per-pair verify.
+    verify_by_class: bool = True
     # skew policy (SURVEY.md §2.2 candidate generation)
     bucket_cap: int = 2000  # band buckets larger than this are dropped+counted
     # SetSketch size-ratio candidate prefilter (SURVEY §2.2; J <= min/max).

@@ -293,6 +293,15 @@ def verify_pairs(
     runs first, so the expensive re-shingle UDF sees a tiny fraction).
     Weighted configs verify with the WEIGHTED (multiset) Jaccard — the
     quantity their sketches estimate — set configs with distinct-set Jaccard.
+
+    ``cfg.verify_by_class`` (r5, r4 verdict task #4): dup-dense corpora
+    connect the same byte-identical contents through MANY pairs (the 100k
+    bench spent ~14 s of 31 s re-verifying equal bytes), so the default path
+    groups survivor endpoints into content classes by sha256 and runs the
+    exact UDF once per distinct (class_l, class_r), joining the verdict back
+    per pair.  Value-identical to per-pair verify: the UDF is a pure
+    function of the two byte strings, and equal sha256 means equal bytes.
+    Content also moves once per class instead of once per pair.
     """
     surv = pairs_with_est.filter(F.col("j_est") >= cfg.est_low_cut)
     if not cfg.verify_exact:
@@ -306,14 +315,56 @@ def verify_pairs(
         exact_j = make_weighted_jaccard_udf(cfg)
     else:
         exact_j = make_exact_jaccard_udf(cfg)
-    # size-gated by AQE (see estimate_pair_jaccard): broadcast when survivors
-    # are small, shuffled hash join on id otherwise
-    return (
+    if not cfg.verify_by_class:
+        # legacy per-pair verify; size-gated by AQE (see
+        # estimate_pair_jaccard): broadcast when survivors are small,
+        # shuffled hash join on id otherwise
+        return (
+            surv
+            .join(c.withColumnsRenamed({id_col: "id_l", content_col: "content_l"}), "id_l")
+            .join(c.withColumnsRenamed({id_col: "id_r", content_col: "content_r"}), "id_r")
+            .withColumn("j_exact", exact_j(F.col("content_l"), F.col("content_r")))
+            .drop("content_l", "content_r")
+            .filter(F.col("j_exact") >= cfg.threshold)
+        )
+    # ---- class verify: one UDF call per distinct content-class pair -------
+    ids = (
+        surv.select(F.col("id_l").alias(id_col))
+        .union(surv.select(F.col("id_r").alias(id_col)))
+        .distinct()
+    )
+    # classes restricted to candidate-TOUCHED docs (left-semi first: at
+    # scale that subset is << the corpus, so the sha pass + rep groupBy
+    # never see untouched content).  Persist: feeds the two id->class map
+    # joins AND the representative extraction.  Lifetime: caller's
+    # cache_scope (see operators.cache).
+    classes = pin(
+        c.join(ids, id_col, "left_semi").withColumn(
+            "_csha", F.sha2(F.col(content_col), 256)
+        )
+    )
+    id2c = classes.select(F.col(id_col), F.col("_csha"))
+    # any member represents its class (equal sha256 => equal bytes, so
+    # F.first's nondeterminism cannot change the value)
+    reps = classes.groupBy("_csha").agg(F.first(content_col).alias(content_col))
+    withc = (
         surv
-        .join(c.withColumnsRenamed({id_col: "id_l", content_col: "content_l"}), "id_l")
-        .join(c.withColumnsRenamed({id_col: "id_r", content_col: "content_r"}), "id_r")
-        .withColumn("j_exact", exact_j(F.col("content_l"), F.col("content_r")))
-        .drop("content_l", "content_r")
+        .join(id2c.withColumnsRenamed({id_col: "id_l", "_csha": "_csha_l"}), "id_l")
+        .join(id2c.withColumnsRenamed({id_col: "id_r", "_csha": "_csha_r"}), "id_r")
+        # canonical (unordered) class pair: Jaccard is symmetric
+        .withColumn("_ca", F.least("_csha_l", "_csha_r"))
+        .withColumn("_cb", F.greatest("_csha_l", "_csha_r"))
+    )
+    verdict = (
+        withc.select("_ca", "_cb").distinct()
+        .join(reps.withColumnsRenamed({"_csha": "_ca", content_col: "_content_a"}), "_ca")
+        .join(reps.withColumnsRenamed({"_csha": "_cb", content_col: "_content_b"}), "_cb")
+        .withColumn("j_exact", exact_j(F.col("_content_a"), F.col("_content_b")))
+        .select("_ca", "_cb", "j_exact")
+    )
+    return (
+        withc.join(verdict, ["_ca", "_cb"])
+        .select(*surv.columns, "j_exact")
         .filter(F.col("j_exact") >= cfg.threshold)
     )
 
