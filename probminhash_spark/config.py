@@ -57,12 +57,15 @@ class DedupConfig:
     threshold: float = 0.8  # exact-Jaccard dedup threshold
     est_low_cut: float = 0.5  # discard pairs whose estimated J is below this
     verify_exact: bool = True  # re-shingle + exact Jaccard on survivors
-    # Verify once per byte-identical content CLASS (sha256) instead of once
-    # per pair: dup-dense corpora connect the same contents through many
-    # pairs, so the expensive re-shingle UDF and the content join shrink
-    # from O(pairs) to O(distinct class pairs).  Output is value-identical
-    # (equal bytes => equal Jaccard).  False = legacy per-pair verify.
-    verify_by_class: bool = True
+    # False (default): per-pair verify with the free MASKED equal-content
+    # shortcut — byte-identical pairs (the dominant dup-dense cost) skip
+    # shingling and Arrow transfer entirely via a native sha256 CASE, same
+    # plan shape as plain per-pair.  True: additionally collapse the UDF to
+    # one call per distinct content-CLASS pair — wins only on mega-cluster
+    # corpora where MANY ids share each content AND cross-pair with other
+    # classes (extra narrow shuffles + a persist otherwise).  Both paths are
+    # value-identical (equal bytes => equal Jaccard; pytest-enforced).
+    verify_by_class: bool = False
     # skew policy (SURVEY.md §2.2 candidate generation)
     bucket_cap: int = 2000  # band buckets larger than this are dropped+counted
     # SetSketch size-ratio candidate prefilter (SURVEY §2.2; J <= min/max).

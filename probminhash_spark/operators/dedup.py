@@ -294,14 +294,21 @@ def verify_pairs(
     Weighted configs verify with the WEIGHTED (multiset) Jaccard — the
     quantity their sketches estimate — set configs with distinct-set Jaccard.
 
-    ``cfg.verify_by_class`` (r5, r4 verdict task #4): dup-dense corpora
-    connect the same byte-identical contents through MANY pairs (the 100k
-    bench spent ~14 s of 31 s re-verifying equal bytes), so the default path
-    groups survivor endpoints into content classes by sha256 and runs the
-    exact UDF once per distinct (class_l, class_r), joining the verdict back
-    per pair.  Value-identical to per-pair verify: the UDF is a pure
-    function of the two byte strings, and equal sha256 means equal bytes.
-    Content also moves once per class instead of once per pair.
+    r5 (r4 verdict task #4) — two mechanisms, both value-identical to plain
+    per-pair verify (the UDF is a pure function of the two byte strings and
+    equal sha256 means equal bytes; pytest-enforced):
+
+    - default (``verify_by_class=False``): the MASKED equal-content
+      shortcut — byte-identical pairs feed the UDF empty strings and a
+      native CASE emits the exact 1.0, so the dominant dup-dense cost
+      (re-shingling equal bytes per pair) disappears with zero plan-shape
+      change (measured ≈ plain per-pair at 20k files even on dup-light
+      corpora).
+    - ``verify_by_class=True``: additionally runs the UDF once per distinct
+      (class_l, class_r) and joins the verdict back — pays extra narrow
+      shuffles + a survivor persist, so it wins only on mega-cluster
+      corpora where many ids share each content AND cross-pair with other
+      classes.
     """
     surv = pairs_with_est.filter(F.col("j_est") >= cfg.est_low_cut)
     if not cfg.verify_exact:
@@ -316,18 +323,43 @@ def verify_pairs(
     else:
         exact_j = make_exact_jaccard_udf(cfg)
     if not cfg.verify_by_class:
-        # legacy per-pair verify; size-gated by AQE (see
-        # estimate_pair_jaccard): broadcast when survivors are small,
-        # shuffled hash join on id otherwise
+        # per-pair verify with the MASKED equal-content shortcut: identical
+        # bytes always verify to exactly 1.0 (both UDFs: equal sets/multisets
+        # -> 1.0, and the empty/empty convention is 1.0 too), so byte-equal
+        # pairs — the dominant verify cost on dup-dense corpora, where every
+        # exact-copy pair used to re-shingle the same content — feed the UDF
+        # EMPTY strings (masked before Arrow serialization: no transfer, ~0
+        # shingle work) and a native CASE emits the 1.0.  Same plan shape as
+        # plain per-pair (two AQE size-gated joins + one sha2 per side), no
+        # extra shuffle.  Pair joins: broadcast when survivors are small,
+        # shuffled hash join on id otherwise (see estimate_pair_jaccard).
+        cs = c.withColumn("_csha", F.sha2(F.col(content_col), 256))
+        eq = F.col("_csha_l") == F.col("_csha_r")
         return (
             surv
-            .join(c.withColumnsRenamed({id_col: "id_l", content_col: "content_l"}), "id_l")
-            .join(c.withColumnsRenamed({id_col: "id_r", content_col: "content_r"}), "id_r")
-            .withColumn("j_exact", exact_j(F.col("content_l"), F.col("content_r")))
-            .drop("content_l", "content_r")
+            .join(cs.withColumnsRenamed(
+                {id_col: "id_l", content_col: "content_l", "_csha": "_csha_l"}
+            ), "id_l")
+            .join(cs.withColumnsRenamed(
+                {id_col: "id_r", content_col: "content_r", "_csha": "_csha_r"}
+            ), "id_r")
+            .withColumn(
+                "j_exact",
+                F.when(eq, F.lit(1.0)).otherwise(
+                    exact_j(
+                        F.when(eq, F.lit("")).otherwise(F.col("content_l")),
+                        F.when(eq, F.lit("")).otherwise(F.col("content_r")),
+                    )
+                ),
+            )
+            .drop("content_l", "content_r", "_csha_l", "_csha_r")
             .filter(F.col("j_exact") >= cfg.threshold)
         )
     # ---- class verify: one UDF call per distinct content-class pair -------
+    # surv feeds THREE subtrees below (both endpoint unions + the pair join);
+    # unpersisted it would re-execute the whole sketch->candidate->estimate
+    # upstream each time (measured 3x wall at 20k files)
+    surv = pin(surv)
     ids = (
         surv.select(F.col("id_l").alias(id_col))
         .union(surv.select(F.col("id_r").alias(id_col)))
