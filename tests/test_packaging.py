@@ -40,3 +40,36 @@ def test_package_imports_and_runs_from_zip(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ZIP_OK" in out.stdout
+
+
+def test_stream_job_ttl_arg_validation():
+    """--ttl is state-store + continuous only: pending processing-time
+    timers keep an availableNow drain from terminating, and the LSM engine
+    has no engine-managed state to expire.  Both misuses must exit at
+    argparse time (before any Spark work)."""
+    import pytest
+
+    import jobs.dedup_stream as job
+
+    with pytest.raises(SystemExit):
+        job.main(["--input", "/x", "--state", "/y", "--ttl", "1 hour"])
+    with pytest.raises(SystemExit):
+        job.main(
+            ["--input", "/x", "--state", "/y", "--engine", "lsm",
+             "--ttl", "1 hour", "--continuous"]
+        )
+
+
+def test_parse_ttl_ms_units_and_errors():
+    import pytest
+
+    from probminhash_spark.streaming.state_dedup import _parse_ttl_ms
+
+    assert _parse_ttl_ms(None) is None
+    assert _parse_ttl_ms(1500) == 1500
+    assert _parse_ttl_ms("2 seconds") == 2000
+    assert _parse_ttl_ms("1.5 minutes") == 90_000
+    assert _parse_ttl_ms("6 hours") == 21_600_000
+    for bad in ("fortnight", "3 fortnights", "-1 seconds", 0, "0 seconds"):
+        with pytest.raises(ValueError):
+            _parse_ttl_ms(bad)
