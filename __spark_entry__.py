@@ -222,12 +222,23 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation-ratio cap, average-token-length cap — thresholds evaluated
     in exact integer arithmetic so both dialects branch identically."""
     _load(spark, sf_dir, "documents")
-    return spark.sql(
-        _QUALITY_FILTER_TMPL.format(
-            length="LENGTH",
-            strip_nonword="REGEXP_REPLACE(text, '[^A-Za-z0-9_ ]', '')",
-            ntokens="SIZE(SPLIT(text, ' '))",
-        )
+    # r6 perf: sorted-input form of _QUALITY_FILTER_TMPL (see
+    # text_token_stats) — same expressions/aliases/branching, no trailing
+    # ORDER BY re-executing the regex projection under the range sampler
+    f = _ranged(spark.table("documents")).selectExpr(
+        "doc_id",
+        "LENGTH(text) AS n_chars",
+        "LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9_ ]', '')) AS n_word_chars",
+        "LENGTH(REPLACE(text, ' ', '')) AS n_nonspace",
+        "SIZE(SPLIT(text, ' ')) AS n_tokens",
+    )
+    return f.selectExpr(
+        "doc_id",
+        "CAST(n_chars AS BIGINT) AS n_chars",
+        "CASE WHEN n_chars < 100 THEN 'too_short'"
+        " WHEN 10 * (n_chars - n_word_chars) > 3 * n_chars THEN 'too_punct'"
+        " WHEN n_nonspace > 12 * n_tokens THEN 'long_tokens'"
+        " ELSE 'keep' END AS verdict",
     )
 
 
@@ -289,7 +300,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_jaccard_pairs(
         spark.table("documents"), threshold=0.5, gram_len=8, on_capped="fail"
     )
-    return out.orderBy("id_l", "id_r")
+    return _barrier_sort(out, "id_l", "id_r")
 
 
 _TOKEN_RE = r"[0-9A-Za-z_\x{0080}-\x{10ffff}]+"
@@ -333,7 +344,7 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_re=_TOKEN_RE,  # bound as a literal, no SQL-string escaping
         on_capped="fail",
     )
-    return out.orderBy("id_l", "id_r")
+    return _barrier_sort(out, "id_l", "id_r")
 
 
 def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,9 +373,11 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_edges(docs, cfg, key_cols=None, id_col="doc_id", on_capped="fail")
     import pyspark.sql.functions as F
 
-    return edges.select(
-        "id_l", "id_r", F.round("j_exact", 6).alias("j_weighted")
-    ).orderBy("id_l", "id_r")
+    return _barrier_sort(
+        edges.select("id_l", "id_r", F.round("j_exact", 6).alias("j_weighted")),
+        "id_l",
+        "id_r",
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,7 +424,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_low_cut=0.3,
     )
     edges = dedup_edges(docs, cfg, key_cols=None, id_col="doc_id", on_capped="fail")
-    return edges.selectExpr("id_l", "id_r", "j_exact").orderBy("id_l", "id_r")
+    return _barrier_sort(edges.selectExpr("id_l", "id_r", "j_exact"), "id_l", "id_r")
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +451,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents").selectExpr("doc_id", "text AS content")
     out = substring_dup_pairs(docs, min_len=20, k=8, on_capped="fail")
-    return out.orderBy("id_l", "id_r")
+    return _barrier_sort(out, "id_l", "id_r")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,7 +467,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").selectExpr("doc_id", "text AS content")
     cfg = DedupConfig(shingle_mode="token", shingle_size=1)
     out = simhash_dup_pairs(docs, cfg, max_hamming=3, on_capped="fail")
-    return out.orderBy("id_l", "id_r")
+    return _barrier_sort(out, "id_l", "id_r")
 
 
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,19 +498,20 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting / quality stats per document (training-data op)."""
+    """Token counting / quality stats per document (training-data op).
+
+    r6 perf: computed over a range-partitioned doc_id-sorted scan instead of
+    a trailing ORDER BY — same rows in the same global order, but the string
+    work runs ONCE (the range sampler otherwise re-executes the projection)
+    and in parallel (the single-row-group documents scan is 1 task)."""
     _load(spark, sf_dir, "documents")
-    return spark.sql(
-        """
-        SELECT doc_id,
-               CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-               CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
-               ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                     / SIZE(SPLIT(text, ' ')), 6) AS avg_token_len
-        FROM documents
-        ORDER BY doc_id
-        """
+    return _ranged(spark.table("documents")).selectExpr(
+        "doc_id",
+        "CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS n_tokens",
+        "CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars_actual",
+        "ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)"
+        " / SIZE(SPLIT(text, ' ')), 6) AS avg_token_len",
     )
 
 
@@ -507,19 +521,16 @@ def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_extract_all on both sides (explicit char classes so the Java and
     RE2 regex dialects agree)."""
     _load(spark, sf_dir, "documents")
-    return spark.sql(
-        """
-        SELECT doc_id,
-               CAST(SIZE(regexp_extract_all(text,
-                   '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]', 0)) AS BIGINT)
-                   AS n_bpe_tokens,
-               CAST(SIZE(regexp_extract_all(text, '[A-Za-z0-9_]+', 0)) AS BIGINT)
-                   AS n_word_tokens,
-               CAST(SIZE(regexp_extract_all(text,
-                   '[^A-Za-z0-9_ \\t\\n]', 0)) AS BIGINT) AS n_punct_tokens
-        FROM documents
-        ORDER BY doc_id
-        """
+    # r6 perf: sorted-input form (see text_token_stats) — regex extraction
+    # runs once, in parallel, instead of twice under the range sampler
+    return _ranged(spark.table("documents")).selectExpr(
+        "doc_id",
+        "CAST(SIZE(regexp_extract_all(text,"
+        " '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]', 0)) AS BIGINT) AS n_bpe_tokens",
+        "CAST(SIZE(regexp_extract_all(text, '[A-Za-z0-9_]+', 0)) AS BIGINT)"
+        " AS n_word_tokens",
+        "CAST(SIZE(regexp_extract_all(text,"
+        " '[^A-Za-z0-9_ \\t\\n]', 0)) AS BIGINT) AS n_punct_tokens",
     )
 
 
@@ -556,7 +567,12 @@ pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          AGGREGATE(ZIP_WITH(q.e, c.e, (x, y) -> x * y),
                    CAST(0 AS DOUBLE), (a, x) -> a + x) / (q.nrm * c.nrm) AS cos
-  FROM norms q JOIN norms c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+  -- r6 perf: the probe (streamed) side of the BroadcastNestedLoopJoin is
+  -- repartitioned — the single-row-group embeddings scan would otherwise run
+  -- the whole per-pair dot-product loop in ONE task (1.72s -> 0.79s at sf1.0).
+  -- Per-row math is unchanged, so rounded cosines are identical.
+  FROM norms q JOIN (SELECT /*+ REPARTITION({npart}) */ * FROM norms) c
+    ON q.vec_id < 8 AND c.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
 FROM (
@@ -599,12 +615,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact baseline for approximate similarity search; all-native
     zip_with/aggregate, no UDF."""
     _load(spark, sf_dir, "embeddings")
-    return spark.sql(_COSINE_SPARK)
+    npart = spark.sparkContext.defaultParallelism * 2
+    return spark.sql(_COSINE_SPARK.format(npart=npart))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.99 across the corpus."""
     _load(spark, sf_dir, "embeddings")
+    # r6 perf: repartition the streamed side of the all-pairs BNLJ — the
+    # single-row-group embeddings scan would otherwise run every dot product
+    # in one task (see ann_cosine_topk).  Per-row math unchanged.
+    npart = spark.sparkContext.defaultParallelism * 2
     return spark.sql(
         """
         WITH v AS (
@@ -620,11 +641,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(AGGREGATE(ZIP_WITH(a.e, b.e, (x, y) -> x * y),
                      CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (a.nrm * b.nrm), 6)
                    AS cosine
-        FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        FROM (SELECT /*+ REPARTITION({npart}) */ * FROM norms) a
+        JOIN norms b ON a.vec_id < b.vec_id
         WHERE AGGREGATE(ZIP_WITH(a.e, b.e, (x, y) -> x * y),
               CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.99
         ORDER BY id_l, id_r
-        """
+        """.format(npart=npart)
     )
 
 
@@ -639,6 +661,37 @@ def _par(df: DataFrame) -> DataFrame:
     from probminhash_spark.operators.dedup import ensure_parallelism
 
     return ensure_parallelism(df)
+
+
+def _barrier_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """Round-robin repartition — a materialized stage boundary under AQE —
+    immediately before the final ``orderBy`` (r6 perf).
+
+    The orderBy's range sampler re-executes everything after the last
+    shuffle; for the dedup/verify queries that segment holds the estimate
+    joins, the content joins and the exact-verify pandas UDF.  The
+    repartition (tiny: the edge sets are small) makes the sampler read the
+    materialized shuffle instead, so the verify subtree runs exactly once.
+    Rows and final ordering are unchanged."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism).orderBy(*cols)
+
+
+def _ranged(df: DataFrame, col: str = "doc_id") -> DataFrame:
+    """Range-partition + sort the UDF *input* by ``col`` so the query's
+    output is globally ordered WITHOUT a trailing ``orderBy`` (r6 perf).
+
+    A post-UDF ``orderBy`` plans a range Exchange whose boundary sampler
+    re-executes everything after the last shuffle — i.e. the whole pandas
+    UDF subtree runs TWICE (measured 2.35s vs 1.15s per sketch query at
+    sf1.0).  Sorting the input instead puts the sampler on the cheap
+    parquet scan; the UDF is a 1:1 order-preserving projection, so rows
+    leave in exactly the same global ``col`` order a trailing orderBy
+    would produce.  The range repartition doubles as the parallelism
+    fan-out (replaces the ``_par`` round-robin repartition — one shuffle,
+    not two)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartitionByRange(sc.defaultParallelism, col).sortWithinPartitions(col)
 
 
 def _scalarize_sig(df: DataFrame, col: str) -> DataFrame:
@@ -668,10 +721,8 @@ def sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         algo="probminhash3a", weighted=True, num_hashes=64, bands=16, rows=4
     )
     sketch = make_sketch_udf(cfg)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", sketch(F.col("text")).alias("sig"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", sketch(F.col("text")).alias("sig")
     )
     return _scalarize_sig(out, "sig")
 
@@ -686,10 +737,8 @@ def sketch_superminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     cfg = DedupConfig(algo="superminhash", num_hashes=64, bands=16, rows=4)
     sketch = make_sketch_udf(cfg)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", sketch(F.col("text")).alias("sig"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", sketch(F.col("text")).alias("sig")
     )
     return _scalarize_sig(out, "sig")
 
@@ -708,10 +757,8 @@ def sketch_superminhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     cfg = DedupConfig(algo="superminhash", num_hashes=64, bands=16, rows=4)
     hsk = make_superminhash_values_udf(cfg)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", hsk(F.col("text")).alias("hsketch"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", hsk(F.col("text")).alias("hsketch")
     )
     # scalar-encode for the driver hash: fixed 6-decimal rendering (values
     # are sums of uniforms in [0, m) — 1e-6 is far below slot separation)
@@ -742,10 +789,8 @@ def sketch_signatures_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=64, bands=16, rows=4,
     )
     sketch = make_sketch_udf(cfg)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", sketch(F.col("text")).alias("sig"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", sketch(F.col("text")).alias("sig")
     )
     return _scalarize_sig(out, "sig")
 
@@ -763,10 +808,8 @@ def sketch_probminhash2(spark: SparkSession, sf_dir: str) -> DataFrame:
         algo="probminhash2", weighted=True, num_hashes=64, bands=16, rows=4
     )
     sketch = make_sketch_udf(cfg)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", sketch(F.col("text")).alias("sig"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", sketch(F.col("text")).alias("sig")
     )
     return _scalarize_sig(out, "sig")
 
@@ -782,10 +825,8 @@ def sketch_superminhash2(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     cfg = DedupConfig(algo="superminhash2", num_hashes=64, bands=16, rows=4)
     sketch = make_sketch_udf(cfg)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", sketch(F.col("text")).alias("sig"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", sketch(F.col("text")).alias("sig")
     )
     return _scalarize_sig(out, "sig")
 
@@ -801,10 +842,8 @@ def sketch_revoptdens(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     cfg = DedupConfig(algo="revoptdens", num_hashes=64, bands=16, rows=4)
     sketch = make_sketch_udf(cfg)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", sketch(F.col("text")).alias("sig"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", sketch(F.col("text")).alias("sig")
     )
     return _scalarize_sig(out, "sig")
 
@@ -818,10 +857,8 @@ def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     card = make_cardinality_udf(DedupConfig())
-    return (
-        _par(spark.table("documents"))
-        .select("doc_id", F.round(card(F.col("text")), 2).alias("est_distinct_shingles"))
-        .orderBy("doc_id")
+    return _ranged(spark.table("documents")).select(
+        "doc_id", F.round(card(F.col("text")), 2).alias("est_distinct_shingles")
     )
 
 
@@ -837,10 +874,8 @@ def sketch_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     sim = make_simhash_udf(DedupConfig(shingle_mode="token", shingle_size=1))
-    return (
-        _par(spark.table("documents"))
-        .select("doc_id", sim(F.col("text")).alias("simhash64"))
-        .orderBy("doc_id")
+    return _ranged(spark.table("documents")).select(
+        "doc_id", sim(F.col("text")).alias("simhash64")
     )
 
 
@@ -1060,10 +1095,8 @@ def sketch_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     fp = make_fingerprint_udf(window=16, k=8)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", fp(F.col("text")).alias("fingerprint"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", fp(F.col("text")).alias("fingerprint")
     )
     return _scalarize_sig(out, "fingerprint")
 
@@ -1076,10 +1109,8 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     lang = make_lang_id_udf()
-    return (
-        _par(spark.table("documents"))
-        .select("doc_id", lang(F.col("text")).alias("lang_pred"))
-        .orderBy("doc_id")
+    return _ranged(spark.table("documents")).select(
+        "doc_id", lang(F.col("text")).alias("lang_pred")
     )
 
 
@@ -1092,10 +1123,8 @@ def sketch_ordminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     om = make_ordminhash_udf(m=16, l=2)
-    out = (
-        _par(spark.table("documents"))
-        .select("doc_id", om(F.col("text")).alias("ord_sig"))
-        .orderBy("doc_id")
+    out = _ranged(spark.table("documents")).select(
+        "doc_id", om(F.col("text")).alias("ord_sig")
     )
     return _scalarize_sig(out, "ord_sig")
 
@@ -1112,9 +1141,14 @@ def sketch_group_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = DedupConfig(setsketch_m=256)
     docs = spark.table("documents").selectExpr("source", "text AS content")
     out = group_distinct_shingles(docs, ["source"], cfg)
-    return out.select(
-        "source", "n_docs", F.round("est_distinct_shingles", 2).alias("est_distinct_shingles")
-    ).orderBy("source")
+    return _barrier_sort(
+        out.select(
+            "source",
+            "n_docs",
+            F.round("est_distinct_shingles", 2).alias("est_distinct_shingles"),
+        ),
+        "source",
+    )
 
 
 def sketch_group_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,13 +1168,17 @@ def sketch_group_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").selectExpr("source", "text AS content")
     groups = group_distinct_shingles(docs, ["source"], cfg)
     out = group_jaccard(groups, cfg, "source")
-    return out.select(
+    return _barrier_sort(
+        out.select(
+            "key_l",
+            "key_r",
+            F.round("j_est", 6).alias("j_est"),
+            F.round("j_mle", 6).alias("j_mle"),
+            F.round("j_mle_b1", 6).alias("j_mle_b1"),
+        ),
         "key_l",
         "key_r",
-        F.round("j_est", 6).alias("j_est"),
-        F.round("j_mle", 6).alias("j_mle"),
-        F.round("j_mle_b1", 6).alias("j_mle_b1"),
-    ).orderBy("key_l", "key_r")
+    )
 
 
 def sketch_group_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,13 +1212,17 @@ def sketch_group_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         groups, cfg, "grp", threshold=0.2, mode="banded", band_rows=4,
         on_capped="fail",
     )
-    return out.select(
+    return _barrier_sort(
+        out.select(
+            "key_l",
+            "key_r",
+            F.round("j_est", 6).alias("j_est"),
+            F.round("j_mle", 6).alias("j_mle"),
+            F.round("j_mle_b1", 6).alias("j_mle_b1"),
+        ),
         "key_l",
         "key_r",
-        F.round("j_est", 6).alias("j_est"),
-        F.round("j_mle", 6).alias("j_mle"),
-        F.round("j_mle_b1", 6).alias("j_mle_b1"),
-    ).orderBy("key_l", "key_r")
+    )
 
 
 def sketch_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1201,12 +1243,15 @@ def sketch_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").selectExpr("lang", "source", "text AS content")
     children = group_distinct_shingles(docs, ["lang", "source"], cfg)
     out = rollup_group_sketches(children, ["lang"], cfg)
-    return out.select(
+    return _barrier_sort(
+        out.select(
+            "lang",
+            "n_docs",
+            "n_child_groups",
+            F.round("est_distinct_shingles", 2).alias("est_distinct_shingles"),
+        ),
         "lang",
-        "n_docs",
-        "n_child_groups",
-        F.round("est_distinct_shingles", 2).alias("est_distinct_shingles"),
-    ).orderBy("lang")
+    )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,7 +1273,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from probminhash_spark.operators.multimodal import extract_features
 
     _load(spark, sf_dir, "documents")
-    media = spark.table("documents").select(
+    # input pre-sorted by doc_id (_ranged) + order-preserving 1:1 mapInPandas
+    # == the old trailing orderBy, without the range sampler re-executing the
+    # whole decode subtree (r6 perf; see _ranged)
+    media = _ranged(spark.table("documents")).select(
         "doc_id",
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -1245,7 +1293,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
-    out = extract_features(_par(media), n_features=8)
+    out = extract_features(media, n_features=8)
     out = out.select(
         "doc_id",
         "modality",
@@ -1257,7 +1305,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * 8192.0D) as bigint) as string))"
             ),
         ).alias("features_q13"),
-    ).orderBy("doc_id")
+    )
     return out
 
 
@@ -1319,10 +1367,12 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from probminhash_spark.operators.multimodal import extract_byte_stats
 
     _load(spark, sf_dir, "documents")
-    media = spark.table("documents").select(
+    # pre-sorted input + order-preserving 1:1 mapInPandas replaces the
+    # trailing orderBy (r6 perf; see _ranged)
+    media = _ranged(spark.table("documents")).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    out = extract_byte_stats(_par(media), n_chunks=8)
+    out = extract_byte_stats(media, n_chunks=8)
     return out.select(
         "doc_id",
         "n_bytes",
@@ -1330,7 +1380,7 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_sums_str"
         ),
         "checksum",
-    ).orderBy("doc_id")
+    )
 
 
 def _multimodal_byte_stats_duck_sql(n_chunks: int = 8) -> str:

@@ -322,6 +322,13 @@ def verify_pairs(
         exact_j = make_weighted_jaccard_udf(cfg)
     else:
         exact_j = make_exact_jaccard_udf(cfg)
+    # r6 perf (guide §4.4): the j_exact column feeds both the projection and
+    # the >= threshold filter; the optimizer pushes the filter below the
+    # projection and DUPLICATES the UDF (two ArrowEvalPython nodes — every
+    # surviving pair re-shingles twice).  The function is pure, so marking it
+    # nondeterministic only forbids that duplication: one ArrowEvalPython,
+    # filter evaluated on the already-computed column, identical values.
+    exact_j = exact_j.asNondeterministic()
     if not cfg.verify_by_class:
         # per-pair verify with the MASKED equal-content shortcut: identical
         # bytes always verify to exactly 1.0 (both UDFs: equal sets/multisets
