@@ -1893,7 +1893,11 @@ def oracle_sql() -> dict[str, str]:
         # ann_cosine_topk_lsh/_ivf: intentionally no oracle — the full
         # approximate top-k row set has no exact-match guarantee; their
         # QUALITY is hash-verified through ann_lsh_recall / ann_ivf_recall
-        # below (one-row >= 0.8-recall summaries the oracle can assert).
+        # below.  Those are one-row ALL-QUERIES-MUST-HIT summaries: the
+        # oracle sets n_recall_ok = n_queries, so the hash match asserts
+        # recall is exactly 1.0 on the planted near-duplicates (any single
+        # missed query fails the contract — intentional; the planted pairs
+        # sit at cos ~0.997 where bucket recall is ~1).
         "ann_lsh_recall": _ANN_RECALL_DUCK,
         "ann_ivf_recall": _ANN_RECALL_DUCK,
         "dedup_embedding_lsh": """

@@ -108,6 +108,31 @@ def main(argv=None) -> int:
     spark = get_spark(app_name="probminhash-dedup-stream", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # r6 (ADVICE): an explicitly supplied --checkpoint that holds a PRE-r5
+    # (un-suffixed) checkpoint would be silently orphaned by the engine
+    # suffix — the job would start a fresh file-source checkpoint and
+    # re-drain the entire input as new batches against the existing state.
+    # Detect the legacy layout (offsets/ at the un-suffixed path, nothing at
+    # the suffixed one) and fail with migration instructions instead.
+    if user_ckpt:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+        def _exists(p: str) -> bool:
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            return hp.getFileSystem(hconf).exists(hp)
+
+        legacy = f"{args.checkpoint.rstrip('/')}/offsets"
+        if _exists(legacy) and not _exists(f"{user_ckpt}/offsets"):
+            raise SystemExit(
+                f"--checkpoint {args.checkpoint} holds a legacy (pre-engine-"
+                f"suffix) streaming checkpoint, but this run would use "
+                f"{user_ckpt} and silently RE-DRAIN the whole input against "
+                "the existing state.  Either move the legacy checkpoint "
+                f"contents under {user_ckpt}/ (same engine as before), or "
+                "point --checkpoint/--state at fresh directories."
+            )
+
     stream = spark.readStream.schema(SCHEMA).parquet(args.input)
     t0 = time.time()
     if args.engine == "state-store":

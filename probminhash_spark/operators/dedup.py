@@ -160,7 +160,12 @@ def candidate_pairs(
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
-    buckets = buckets.filter(F.size("ids") >= 2)
+    # pinned (r6): the bucket table feeds TWO subtrees — the capped-bucket
+    # audit (evaluated eagerly under on_capped='fail') and the pair
+    # expansion — so without the persist the band shuffle + collect_list
+    # aggregation execute once per consumer.  Lifetime: caller's
+    # cache_scope(), same contract as the signature pin in dedup_edges.
+    buckets = pin(buckets.filter(F.size("ids") >= 2))
     capped = buckets.filter(F.size("ids") > cfg.bucket_cap).select(
         "band_id", "band_key", F.size("ids").alias("bucket_size")
     )
@@ -340,7 +345,14 @@ def verify_pairs(
         # plain per-pair (two AQE size-gated joins + one sha2 per side), no
         # extra shuffle.  Pair joins: broadcast when survivors are small,
         # shuffled hash join on id otherwise (see estimate_pair_jaccard).
-        cs = c.withColumn("_csha", F.sha2(F.col(content_col), 256))
+        # coalesce before sha2 (r6, ADVICE): sha2(NULL) is NULL, so a
+        # NULL/NULL pair would skip the equal-content shortcut (and in the
+        # class path below, drop out of the _csha equi-joins entirely).
+        # Both verify UDFs fillna('') and score empty/empty as 1.0, so
+        # classing NULL with '' is value-identical on every path.
+        cs = c.withColumn(
+            "_csha", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
+        )
         eq = F.col("_csha_l") == F.col("_csha_r")
         return (
             surv
@@ -379,7 +391,10 @@ def verify_pairs(
     # cache_scope (see operators.cache).
     classes = pin(
         c.join(ids, id_col, "left_semi").withColumn(
-            "_csha", F.sha2(F.col(content_col), 256)
+            # coalesce: NULL content must land in the ''-class, not a NULL
+            # sha that never equi-joins (value-identity with the per-pair
+            # path, which feeds NULL to the fillna('') UDF — r6, ADVICE)
+            "_csha", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
         )
     )
     id2c = classes.select(F.col(id_col), F.col("_csha"))

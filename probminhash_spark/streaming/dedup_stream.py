@@ -54,6 +54,73 @@ def edges_index_lsm(
     )
 
 
+def ensure_index_meta(eidx: BucketedLsm, cfg: DedupConfig) -> None:
+    """Pin an edges-index LSM's layout + sketch identity (r6, ADVICE medium).
+
+    Mirrors ``StreamingDeduper._ensure_state_meta`` for a standalone edges
+    index (the state-store engine's ``<edges_dir>_index``): resuming an
+    existing index with a different ``index_buckets`` silently changes pmod
+    bucket placement — ``prune_prior_edges`` then reads the WRONG bucket
+    dirs and re-emits already-discovered pairs as duplicate edges; resuming
+    under a different sketch identity pairs content under a different key
+    regime against an index built under the old one.  First writer records
+    both; later instances must match or fail loudly."""
+    identity = cfg.sketch_identity()
+    fs = eidx._fs()
+    p = eidx._hpath(f"{eidx.delta_base}/_index_meta.json")
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            scanner = eidx.spark.sparkContext._jvm.java.util.Scanner(stream)
+            text = scanner.useDelimiter("\\A").next() if scanner.hasNext() else ""
+            meta = json.loads(text) if text else None
+        except Exception:
+            meta = None
+        finally:
+            stream.close()
+        if meta is None:
+            if eidx.exists():  # torn meta but live index: refuse
+                raise RuntimeError(
+                    f"unreadable {eidx.delta_base}/_index_meta.json next to an "
+                    "existing edges index — cannot determine its bucket "
+                    "layout; restore the file or rebuild the index dir"
+                )
+            # torn meta, no index yet: first batch crashed pre-write; rewrite
+        elif int(meta["index_buckets"]) != int(eidx.buckets):
+            raise ValueError(
+                f"edges index {eidx.delta_base} was written with "
+                f"index_buckets={meta['index_buckets']}; this run is "
+                f"configured with {eidx.buckets} — bucket pruning would read "
+                "the wrong dirs and re-emit already-discovered pairs as "
+                "duplicate edges"
+            )
+        elif meta.get("sketch_identity") not in (None, identity):
+            raise ValueError(
+                f"edges index {eidx.delta_base} was written under sketch "
+                f"identity {meta['sketch_identity']} but this run's config "
+                f"has identity {identity} — resume with the original config "
+                "or rebuild the index dir"
+            )
+        else:
+            return
+    elif eidx.exists():
+        raise RuntimeError(
+            f"edges index {eidx.delta_base} predates meta pinning (no "
+            "_index_meta.json): its bucket layout cannot be verified and a "
+            "mismatched index_buckets would silently re-emit duplicate "
+            "edges — rebuild the index dir (or, after verifying the layout "
+            f'matches, write {{"index_buckets": {int(eidx.buckets)}, '
+            f'"sketch_identity": "{identity}"}} to _index_meta.json)'
+        )
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"index_buckets": int(eidx.buckets), "sketch_identity": identity}
+        ).encode()))
+    finally:
+        out.close()
+
+
 def prune_prior_edges(
     pairs: DataFrame, eidx: BucketedLsm, batch_id: int
 ) -> DataFrame:

@@ -150,20 +150,47 @@ class BucketedLsm:
         """{"through": W, "segments": [name, ...]} or None before the first
         compaction.  Readers trust only the manifest log — orphan segment
         dirs from a crash are invisible; a torn newest file falls back to
-        the previous committed manifest."""
+        the previous committed manifest.
+
+        r6 (ADVICE): only PARSE failures fall back a version.  IO errors
+        (open/read) propagate — treating a transient FS/py4j error as "torn"
+        could select a stale straggler manifest whose files were already
+        reclaimed.  And a parseable manifest is only trusted after its
+        segment dirs are verified to exist: a GC straggler referencing
+        reclaimed segments must fail loudly, not read silently-empty state
+        and miss duplicates."""
         fs = self._fs()
         for path in reversed(self.manifest_files()):
-            stream = fs.open(self._hpath(path))
+            stream = fs.open(self._hpath(path))  # IO errors raise
             try:
                 scanner = self.spark.sparkContext._jvm.java.util.Scanner(stream)
                 text = scanner.useDelimiter("\\A").next() if scanner.hasNext() else ""
-                manifest = json.loads(text)
-                if "through" in manifest and "segments" in manifest:
-                    return manifest
-            except Exception:  # torn/corrupt newest: fall back one version
-                continue
             finally:
                 stream.close()
+            try:
+                manifest = json.loads(text)
+            except ValueError:  # torn/corrupt newest: fall back one version
+                continue
+            if not (
+                isinstance(manifest, dict)
+                and "through" in manifest
+                and "segments" in manifest
+            ):
+                continue
+            missing = [
+                s
+                for s in manifest["segments"]
+                if not fs.exists(self._hpath(f"{self.compact_base}/seg={s}"))
+            ]
+            if missing:
+                raise RuntimeError(
+                    f"manifest {path} references segment dirs that do not "
+                    f"exist ({missing}): the store is inconsistent (stale "
+                    "straggler manifest after GC, or reclaimed segments) — "
+                    "reading it would silently see empty state and miss "
+                    "duplicates; restore the segments or rebuild the state dir"
+                )
+            return manifest
         return None
 
     def write_manifest(self, through: int, segments: list[str]) -> None:

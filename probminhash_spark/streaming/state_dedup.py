@@ -298,10 +298,13 @@ def attach_stateful_dedup(
     from .dedup_stream import (
         delete_batch_partition,
         edges_index_lsm,
+        ensure_index_meta,
         prune_prior_edges,
     )
 
     from ..operators.cache import cache_scope
+
+    meta_checked = [False]
 
     def write_edges(batch_df: DataFrame, batch_id: int) -> None:
         with cache_scope():
@@ -310,6 +313,13 @@ def attach_stateful_dedup(
     def _write_edges_scoped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         eidx = edges_index_lsm(spark, idx_base, buckets=index_buckets)
+        if not meta_checked[0]:
+            # r6 (ADVICE medium): pin index_buckets + sketch_identity under
+            # idx_base, mirroring StreamingDeduper._ensure_state_meta —
+            # resuming with a different layout/identity must raise, not
+            # silently re-emit already-discovered pairs
+            ensure_index_meta(eidx, cfg)
+            meta_checked[0] = True
         raw = batch_df.groupBy("id_l", "id_r").agg(
             (F.countDistinct("band_id") / cfg.bands).alias("band_hit_rate")
         ).persist()

@@ -566,3 +566,36 @@ def test_class_verify_matches_pair_verify(spark, tiny_corpus, spark_files):
     wp = edge_map(dataclasses.replace(wcfg, verify_by_class=False))
     assert wc == wp
     assert wc
+
+
+def test_null_content_class_verify_matches_pair_verify(spark):
+    """r6 (ADVICE): NULL-content rows must survive class verification —
+    sha2(NULL) is NULL and never equi-joins, so without coalesce('') the
+    class path dropped pairs the per-pair path kept (both UDFs fillna('')
+    and score empty/empty as 1.0).  Two NULL docs and an ''-doc must be
+    byte-identical dups of each other on BOTH verify paths."""
+    import dataclasses
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, ""),
+        (4, "x" * 200),
+        (5, "x" * 200),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    cfg = dataclasses.replace(CFG, threshold=0.5, est_low_cut=0.0)
+
+    def edges(by_class):
+        c = dataclasses.replace(cfg, verify_by_class=by_class)
+        return {
+            (r["id_l"], r["id_r"]): round(r["j_exact"], 9)
+            for r in dedup_edges(docs, c).collect()
+        }
+
+    per_pair = edges(False)
+    per_class = edges(True)
+    assert per_pair == per_class
+    # the NULL/NULL and NULL/'' pairs verify at exactly 1.0 on both paths
+    assert per_pair.get((1, 2)) == 1.0
+    assert {(1, 3), (2, 3)} <= set(per_pair)

@@ -1352,3 +1352,61 @@ def test_streaming_lsm_long_run_soak(spark, tmp_path):
         )
         expect = {(r["id_l"], r["id_r"]) for r in oracle.collect()}
     assert expect and expect <= got, f"missed pairs: {expect - got}"
+
+
+def test_manifest_with_missing_segments_raises(spark, tmp_path):
+    """r6 (ADVICE): a parseable manifest whose segment dirs are gone (GC
+    straggler / reclaimed files) must fail loudly — silently reading empty
+    state would miss duplicates with no error."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.corpus import generate_files
+    from probminhash_spark.streaming.dedup_stream import StreamingDeduper
+
+    files = generate_files(n_files=24, n_clusters=4, seed=38)
+    dedup = StreamingDeduper(
+        spark, DedupConfig(), str(tmp_path / "state"), compact_every=2
+    )
+    thirds = [files.iloc[i::3] for i in range(3)]
+    for b, part in enumerate(thirds):
+        dedup.process_batch(spark.createDataFrame(part), batch_id=b)
+    m = dedup._read_manifest()
+    assert m is not None and m["segments"]
+    import shutil
+
+    seg = tmp_path / "state" / "bands_compact" / f"seg={m['segments'][0]}"
+    assert seg.exists()
+    shutil.rmtree(seg)
+    with pytest.raises(RuntimeError, match="segment dirs that do not exist"):
+        dedup._read_manifest()
+
+
+def test_edges_index_meta_pins_buckets_and_identity(spark, tmp_path):
+    """r6 (ADVICE medium): the standalone edges-index LSM (state-store
+    engine) pins index_buckets + sketch_identity; resuming with a different
+    layout or key regime raises instead of silently mis-bucketing the
+    re-emission guard."""
+    from probminhash_spark.config import DedupConfig
+    from probminhash_spark.streaming.dedup_stream import (
+        edges_index_lsm,
+        ensure_index_meta,
+    )
+
+    base = str(tmp_path / "edges_index")
+    cfg = DedupConfig()
+    eidx = edges_index_lsm(spark, base, buckets=16)
+    ensure_index_meta(eidx, cfg)          # first use: writes the meta file
+    ensure_index_meta(eidx, cfg)          # same layout+identity: fine
+    with pytest.raises(ValueError, match="index_buckets"):
+        ensure_index_meta(edges_index_lsm(spark, base, buckets=32), cfg)
+    other = DedupConfig(shingle_mode="token", shingle_size=2)
+    assert other.sketch_identity() != cfg.sketch_identity()
+    with pytest.raises(ValueError, match="sketch identity"):
+        ensure_index_meta(eidx, other)
+    # meta file lost but live index state present: refuse to guess
+    rows = spark.createDataFrame(
+        [(1, 2, 0)], "id_l long, id_r long, batch_id long"
+    )
+    eidx.write_delta(rows, 0)
+    (tmp_path / "edges_index" / "_index_meta.json").unlink()
+    with pytest.raises(RuntimeError, match="predates meta pinning"):
+        ensure_index_meta(eidx, cfg)
