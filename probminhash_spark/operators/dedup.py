@@ -144,6 +144,7 @@ def candidate_pairs(
     bands: DataFrame,
     cfg: DedupConfig,
     id_col: str = "doc_id",
+    pin_buckets: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Band buckets -> candidate pairs (id_l < id_r) with the explicit skew
     policy (SURVEY.md §2.2): buckets up to ``bucket_cap`` expand pairwise via
@@ -160,12 +161,18 @@ def candidate_pairs(
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
-    # pinned (r6): the bucket table feeds TWO subtrees — the capped-bucket
-    # audit (evaluated eagerly under on_capped='fail') and the pair
-    # expansion — so without the persist the band shuffle + collect_list
-    # aggregation execute once per consumer.  Lifetime: caller's
-    # cache_scope(), same contract as the signature pin in dedup_edges.
-    buckets = pin(buckets.filter(F.size("ids") >= 2))
+    # pinned (r6): the bucket table typically feeds TWO subtrees — the
+    # capped-bucket audit (evaluated eagerly under on_capped='fail'; written
+    # out by the staged pipeline) and the pair expansion (referenced twice by
+    # the streaming new-id semi-join union) — so without the persist the band
+    # shuffle + collect_list aggregation execute once per consumer.
+    # ``pin_buckets=False`` for single-consumer callers (on_capped='star'
+    # edge paths, e.g. the scaling bench legs) where the cache write would
+    # be pure overhead.  Lifetime: caller's cache_scope(), same contract as
+    # the signature pin in dedup_edges.
+    buckets = buckets.filter(F.size("ids") >= 2)
+    if pin_buckets:
+        buckets = pin(buckets)
     capped = buckets.filter(F.size("ids") > cfg.bucket_cap).select(
         "band_id", "band_key", F.size("ids").alias("bucket_size")
     )
@@ -452,7 +459,10 @@ def dedup_edges(
     # outside a scope the persist lives until clearCache() — caller-managed.
     sigs = pin(with_signature(docs, cfg, content_col).select(id_col, "sig"))
     bands = band_explode(sigs, cfg, id_col)
-    pairs, capped = candidate_pairs(bands, cfg, id_col)
+    # star mode never evaluates the capped audit -> buckets has ONE consumer
+    pairs, capped = candidate_pairs(
+        bands, cfg, id_col, pin_buckets=(on_capped == "fail")
+    )
     if on_capped == "fail":
         hit = capped.limit(1).collect()
         if hit:
@@ -508,7 +518,9 @@ def simhash_dup_pairs(
     bands = fp.select(
         F.col(id_col), F.explode(F.expr(block_expr)).alias("bk")
     ).select(id_col, "bk.band_id", "bk.band_key")
-    pairs, capped = candidate_pairs(bands, cfg, id_col)
+    pairs, capped = candidate_pairs(
+        bands, cfg, id_col, pin_buckets=(on_capped == "fail")
+    )
     if on_capped == "fail":
         # oracle-equality guard (same contract as dedup_edges): a fingerprint
         # block shared by > bucket_cap docs would star-expand and silently

@@ -85,7 +85,9 @@ def ngram_jaccard_pairs(
     bands = grams.select(
         F.col(id_col), F.lit(0).alias("band_id"), F.xxhash64("g").alias("band_key")
     )
-    pairs, capped = candidate_pairs(bands, cfg, id_col)
+    pairs, capped = candidate_pairs(
+        bands, cfg, id_col, pin_buckets=(on_capped == "fail")
+    )
     _capped_guard(capped, on_capped, cfg)
     gl = grams.select(F.col(id_col).alias("id_l"), "g")
     gr = grams.select(F.col(id_col).alias("id_r"), "g")
@@ -144,7 +146,9 @@ def weighted_token_jaccard_pairs(
     bands = toks.select(
         F.col(id_col), F.lit(0).alias("band_id"), F.xxhash64("tok").alias("band_key")
     )
-    pairs, capped = candidate_pairs(bands, cfg, id_col)
+    pairs, capped = candidate_pairs(
+        bands, cfg, id_col, pin_buckets=(on_capped == "fail")
+    )
     _capped_guard(capped, on_capped, cfg)
     tl = toks.select(F.col(id_col).alias("id_l"), "tok", F.col("c").alias("c_l"))
     tr = toks.select(F.col(id_col).alias("id_r"), "tok", F.col("c").alias("c_r"))

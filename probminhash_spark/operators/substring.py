@@ -73,7 +73,9 @@ def substring_dup_pairs(
     ).withColumn("band_id", F.lit(0))
     # reuse the LSH bucket expansion + skew policy (one shuffle, star-cap)
     cap_cfg = DedupConfig(bucket_cap=bucket_cap)
-    pairs, capped = candidate_pairs(anchors, cap_cfg, id_col)
+    pairs, capped = candidate_pairs(
+        anchors, cap_cfg, id_col, pin_buckets=(on_capped == "fail")
+    )
     if on_capped == "fail":
         hit = capped.limit(1).collect()
         if hit:
