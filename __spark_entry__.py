@@ -661,14 +661,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _par(df: DataFrame) -> DataFrame:
-    """Fan a small single-file scan out to full parallelism before a pandas
-    UDF stage (no-op when the scan already has enough splits)."""
-    from probminhash_spark.operators.dedup import ensure_parallelism
-
-    return ensure_parallelism(df)
-
-
 def _barrier_sort(df: DataFrame, *cols: str) -> DataFrame:
     """Round-robin repartition — a materialized stage boundary under AQE —
     immediately before the final ``orderBy`` (r6 perf).
